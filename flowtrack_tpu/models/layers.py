@@ -1,0 +1,91 @@
+"""Shared layer primitives with torch-exact semantics.
+
+The one real parity trap (SURVEY.md section 8 "hard parts" (a)) is transposed
+convolution: torch ``ConvTranspose2d`` and flax ``ConvTranspose`` differ in
+weight layout AND spatial flip. We implement deconv explicitly as an
+input-dilated convolution via ``lax.conv_general_dilated`` so the semantics
+are pinned:
+
+    out = conv(dilate(x, stride), kernel, padding = k - 1 - p)
+
+with kernel stored HWIO *already spatially flipped* relative to torch's
+(Cin, Cout, kH, kW). The torch->JAX converter does
+``w.transpose(2, 3, 0, 1)[::-1, ::-1]``; a 1-layer golden test pins this.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+
+class ConvTransposeTorch(nn.Module):
+    """torch.nn.ConvTranspose2d twin (NHWC). kernel: (kH, kW, Cin, Cout),
+    spatially flipped vs torch."""
+
+    features: int
+    kernel_size: int = 4
+    strides: int = 2
+    padding: int = 1
+    use_bias: bool = False
+    dtype: Any = jnp.float32
+    param_dtype: Any = jnp.float32
+    kernel_init: Any = nn.initializers.normal(stddev=0.001)
+
+    @nn.compact
+    def __call__(self, x):
+        k, s, p = self.kernel_size, self.strides, self.padding
+        cin = x.shape[-1]
+        kernel = self.param("kernel", self.kernel_init,
+                            (k, k, cin, self.features), self.param_dtype)
+        y = jax.lax.conv_general_dilated(
+            x.astype(self.dtype), kernel.astype(self.dtype),
+            window_strides=(1, 1),
+            padding=[(k - 1 - p, k - 1 - p)] * 2,
+            lhs_dilation=(s, s),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros,
+                              (self.features,), self.param_dtype)
+            y = y + bias.astype(self.dtype)
+        return y
+
+
+def conv(features, kernel_size, strides=1, padding=0, use_bias=False,
+         dtype=jnp.float32, name=None, kernel_init=None):
+    """torch.nn.Conv2d twin (explicit symmetric padding, NHWC)."""
+    return nn.Conv(
+        features=features,
+        kernel_size=(kernel_size, kernel_size),
+        strides=(strides, strides),
+        padding=[(padding, padding), (padding, padding)],
+        use_bias=use_bias,
+        dtype=dtype,
+        param_dtype=jnp.float32,
+        kernel_init=kernel_init or nn.initializers.he_normal(),
+        name=name,
+    )
+
+
+def batch_norm(train, dtype=jnp.float32, name=None, momentum=0.9, eps=1e-5):
+    """torch.nn.BatchNorm2d twin (torch momentum 0.1 == flax momentum 0.9)."""
+    return nn.BatchNorm(
+        use_running_average=not train,
+        momentum=momentum,
+        epsilon=eps,
+        dtype=dtype,
+        param_dtype=jnp.float32,
+        name=name,
+    )
+
+
+def max_pool_same_as_torch(x, window=3, strides=2, padding=1):
+    """torch MaxPool2d(k=3, s=2, p=1): pad with -inf then pool."""
+    return nn.max_pool(
+        x, (window, window), strides=(strides, strides),
+        padding=[(padding, padding), (padding, padding)],
+    )

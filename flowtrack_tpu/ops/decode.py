@@ -1,0 +1,92 @@
+"""On-device heatmap -> keypoint decode.
+
+Behavior contract (SURVEY.md section 3 "Heatmap decode" row, section 4.2;
+reference lineage: core/inference.py ``get_max_preds`` / ``get_final_preds``
+/ ``transform_preds``):
+
+  1. per-joint argmax over the heatmap -> (x, y) + maxval confidence;
+     coords are zeroed where maxval <= 0;
+  2. quarter-pixel refinement: if the peak is strictly inside the border,
+     shift 0.25 px toward the larger immediate neighbor in x and y;
+  3. map heatmap coords back to source-image coords with the inverse crop
+     affine (rot=0) built from (center, scale).
+
+TPU-native: the whole decode is vmapped jnp — no host round-trip (the
+reference pulls heatmaps to CPU per batch; SURVEY.md flags that as its big
+eval-loop inefficiency). Layout NHWK.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from flowtrack_tpu.ops.affine import affine_transform_jax, get_affine_transform_jax
+
+
+def get_max_preds(heatmaps):
+    """Argmax decode. heatmaps: (N, H, W, K) -> preds (N, K, 2) xy, maxvals (N, K)."""
+    n, h, w, k = heatmaps.shape
+    flat = heatmaps.reshape(n, h * w, k)
+    idx = jnp.argmax(flat, axis=1)                      # (N, K)
+    maxvals = jnp.max(flat, axis=1)                     # (N, K)
+    px = (idx % w).astype(jnp.float32)
+    py = (idx // w).astype(jnp.float32)
+    preds = jnp.stack([px, py], axis=-1)                # (N, K, 2)
+    mask = (maxvals > 0.0).astype(jnp.float32)[..., None]
+    return preds * mask, maxvals
+
+
+def _quarter_offset(heatmaps, preds):
+    """+-0.25 px toward the larger neighbor (reference post_process)."""
+    n, h, w, k = heatmaps.shape
+    px = preds[..., 0].astype(jnp.int32)                # (N, K)
+    py = preds[..., 1].astype(jnp.int32)
+
+    def gather(hm, y, x):
+        # hm: (H, W, K); y, x: (K,) -> (K,)
+        yc = jnp.clip(y, 0, h - 1)
+        xc = jnp.clip(x, 0, w - 1)
+        return hm[yc, xc, jnp.arange(k)]
+
+    gather_b = jax.vmap(gather)
+    dx = gather_b(heatmaps, py, px + 1) - gather_b(heatmaps, py, px - 1)
+    dy = gather_b(heatmaps, py + 1, px) - gather_b(heatmaps, py - 1, px)
+    inside = ((px > 0) & (px < w - 1) & (py > 0) & (py < h - 1))
+    off = jnp.stack([jnp.sign(dx), jnp.sign(dy)], axis=-1) * 0.25
+    return preds + off * inside[..., None].astype(jnp.float32)
+
+
+def transform_preds_jax(coords, center, scale, heatmap_hw):
+    """Heatmap coords -> source-image coords via inverse crop affine (rot=0).
+
+    coords: (..., K, 2); center: (..., 2); scale: (..., 2).
+    """
+    hm_h, hm_w = heatmap_hw
+    inv = get_affine_transform_jax(center, scale, 0.0, (hm_w, hm_h), inv=True)
+    return affine_transform_jax(coords, inv)
+
+
+def get_final_preds(heatmaps, center, scale, post_process=True):
+    """Full decode: (N, H, W, K) heatmaps + per-person (center, scale)
+    -> (N, K, 2) image-space keypoints + (N, K) maxvals. Pure jnp, jittable.
+    """
+    heatmaps = heatmaps.astype(jnp.float32)
+    preds, maxvals = get_max_preds(heatmaps)
+    if post_process:
+        preds = _quarter_offset(heatmaps, preds)
+    hm_h, hm_w = heatmaps.shape[1], heatmaps.shape[2]
+    preds = transform_preds_jax(preds, center, scale, (hm_h, hm_w))
+    return preds, maxvals
+
+
+def rescore(box_scores, maxvals, in_vis_thre=0.2):
+    """Reference rescoring: score = box_score * mean(maxvals over joints with
+    maxval > in_vis_thre); 0 if no joint passes.
+
+    box_scores: (N,); maxvals: (N, K) -> (N,).
+    """
+    vis = (maxvals > in_vis_thre).astype(jnp.float32)
+    cnt = jnp.sum(vis, axis=-1)
+    mean_conf = jnp.where(cnt > 0, jnp.sum(maxvals * vis, axis=-1) / jnp.maximum(cnt, 1.0), 0.0)
+    return box_scores * mean_conf
