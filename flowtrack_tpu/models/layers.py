@@ -47,6 +47,7 @@ class ConvTransposeTorch(nn.Module):
             padding=[(k - 1 - p, k - 1 - p)] * 2,
             lhs_dilation=(s, s),
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            precision=jax.lax.Precision.HIGHEST,
         )
         if self.use_bias:
             bias = self.param("bias", nn.initializers.zeros,
@@ -66,6 +67,7 @@ def conv(features, kernel_size, strides=1, padding=0, use_bias=False,
         use_bias=use_bias,
         dtype=dtype,
         param_dtype=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
         kernel_init=kernel_init or nn.initializers.he_normal(),
         name=name,
     )
