@@ -68,9 +68,36 @@ generate_target_batch = jax.vmap(generate_target_jax,
 
 
 def generate_target_np(joints, joints_vis, heatmap_hw, image_hw, sigma):
-    """Numpy twin (data-pipeline / oracle use)."""
-    t, w = generate_target_jax(joints, joints_vis, heatmap_hw, image_hw, sigma)
-    return np.asarray(t), np.asarray(w)
+    """Pure-numpy twin (host data pipeline — no per-item jax dispatch).
+
+    Kept algorithmically identical to generate_target_jax (tested equal)."""
+    hm_h, hm_w = heatmap_hw
+    stride_x = image_hw[1] / hm_w
+    stride_y = image_hw[0] / hm_h
+    tmp_size = int(sigma * 3)
+
+    joints = np.asarray(joints, np.float32)
+    vis = np.asarray(joints_vis, np.float32).reshape(-1)
+    k = joints.shape[0]
+
+    mu_x = np.trunc(joints[:, 0] / stride_x + 0.5)
+    mu_y = np.trunc(joints[:, 1] / stride_y + 0.5)
+    outside = ((mu_x - tmp_size >= hm_w) | (mu_y - tmp_size >= hm_h)
+               | (mu_x + tmp_size + 1 <= 0) | (mu_y + tmp_size + 1 <= 0))
+    weight = vis * (1.0 - outside.astype(np.float32))
+
+    ys = np.arange(hm_h, dtype=np.float32)[:, None]
+    xs = np.arange(hm_w, dtype=np.float32)[None, :]
+    target = np.zeros((hm_h, hm_w, k), np.float32)
+    for j in range(k):
+        if weight[j] <= 0:
+            continue
+        dx = xs - mu_x[j]
+        dy = ys - mu_y[j]
+        g = np.exp(-(dx * dx + dy * dy) / (2.0 * sigma * sigma))
+        g *= (np.abs(dx) <= tmp_size) & (np.abs(dy) <= tmp_size)
+        target[:, :, j] = g
+    return target, weight
 
 
 def flip_back(heatmaps, flip_pairs):

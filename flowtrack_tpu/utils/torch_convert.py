@@ -113,43 +113,121 @@ def convert_pose_resnet(sd: Dict[str, np.ndarray], num_deconv_layers: int = 3):
     return {"params": params, "batch_stats": stats}
 
 
-def convert_flownet_s(sd: Dict[str, np.ndarray]):
-    """torch FlowNetS state_dict -> flax variables for models.flownet.FlowNetS.
+# ---------------------------------------------------------------------------
+# FlowNet family (models/flownet.py trees).
+#
+# torch naming (flownet2-pytorch lineage): encoder convs and deconvs are
+# Sequential-wrapped ('conv1.0.weight' = Conv2d, 'conv1.1.*' = BatchNorm2d in
+# the _bn variant); predict_flow / upsampled_flow layers are bare modules.
+# Flax nesting (see models/flownet.py): ConvLeaky/IConv own an inner "conv"
+# (+ "bn"); Deconv owns an inner "deconv"; predict_flow / upsampled_flow are
+# direct conv / ConvTransposeTorch modules.
+# ---------------------------------------------------------------------------
 
-    The lineage wraps each conv in a Sequential (conv.0 = Conv2d,
-    conv.1 = LeakyReLU); accept both 'conv1.0.weight' and 'conv1.weight'.
-    """
+# Names the shared _RefinementTrunk owns in FlowNetS / FlowNetC.
+_TRUNK_NAMES = frozenset(
+    [f"predict_flow{i}" for i in range(2, 7)]
+    + [f"deconv{i}" for i in range(2, 6)]
+    + [f"upsampled_flow{i}_to_{i - 1}" for i in range(3, 7)]
+)
+
+
+def _module_names(sd, prefix=""):
+    names = set()
+    for k in sd:
+        if not k.startswith(prefix):
+            continue
+        rest = k[len(prefix):]
+        names.add(rest.split(".")[0])
+    return names
+
+
+def _convert_flownet_layer(params, stats, sd, name, flax_scope, prefix=""):
+    """Convert one lineage layer (conv/deconv/predict/upsample) by name."""
+    tkey = None
+    for cand in (f"{prefix}{name}.0", f"{prefix}{name}"):
+        if f"{cand}.weight" in sd:
+            tkey = cand
+            break
+    if tkey is None:
+        raise KeyError(f"{prefix}{name}")
+    w = sd[f"{tkey}.weight"]
+
+    if name.startswith("upsampled_flow"):
+        path = flax_scope + (name,)
+        _set(params, path + ("kernel",), deconv_kernel(w))
+    elif name.startswith("predict_flow"):
+        path = flax_scope + (name,)
+        _set(params, path + ("kernel",), conv_kernel(w))
+    elif name.startswith("deconv"):
+        path = flax_scope + (name, "deconv")
+        _set(params, path + ("kernel",), deconv_kernel(w))
+    else:  # ConvLeaky / IConv wrapper
+        path = flax_scope + (name, "conv")
+        _set(params, path + ("kernel",), conv_kernel(w))
+    if f"{tkey}.bias" in sd:
+        _set(params, path + ("bias",), sd[f"{tkey}.bias"])
+    # optional BN variant: Sequential index 1 is BatchNorm2d
+    if f"{prefix}{name}.1.running_mean" in sd:
+        _bn(params, stats, flax_scope + (name, "bn"), f"{prefix}{name}.1", sd)
+
+
+def _convert_flownet_module(sd, prefix="", trunk_names=_TRUNK_NAMES):
     params: dict = {}
     stats: dict = {}
+    for name in sorted(_module_names(sd, prefix)):
+        scope = ("trunk",) if name in trunk_names else ()
+        _convert_flownet_layer(params, stats, sd, name, scope, prefix)
+    return params, stats
 
-    def grab(name):
-        for cand in (f"{name}.0", name):
-            if f"{cand}.weight" in sd:
-                return cand
-        raise KeyError(name)
 
-    conv_names = ["conv1", "conv2", "conv3", "conv3_1", "conv4", "conv4_1",
-                  "conv5", "conv5_1", "conv6", "conv6_1",
-                  "deconv5", "deconv4", "deconv3", "deconv2",
-                  "predict_flow6", "predict_flow5", "predict_flow4",
-                  "predict_flow3", "predict_flow2",
-                  "upsampled_flow6_to_5", "upsampled_flow5_to_4",
-                  "upsampled_flow4_to_3", "upsampled_flow3_to_2"]
-    for name in conv_names:
-        if not any(k.startswith(name) for k in sd):
-            continue
-        t = grab(name)
-        w = sd[f"{t}.weight"]
-        if name.startswith(("deconv", "upsampled")):
-            _set(params, (name, "kernel"), deconv_kernel(w))
-        else:
-            _set(params, (name, "kernel"), conv_kernel(w))
-        if f"{t}.bias" in sd:
-            _set(params, (name, "bias"), sd[f"{t}.bias"])
-        # optional BN variant: conv.1 is BatchNorm2d
-        if f"{name}.1.running_mean" in sd:
-            _bn(params, stats, (f"{name}_bn",), f"{name}.1", sd)
+def convert_flownet_s(sd: Dict[str, np.ndarray]):
+    """torch FlowNetS state_dict -> flax variables (models.flownet.FlowNetS).
 
+    Also correct for FlowNetC (same name map; conv_redir is a ConvLeaky)."""
+    params, stats = _convert_flownet_module(sd)
+    out = {"params": params}
+    if stats:
+        out["batch_stats"] = stats
+    return out
+
+
+convert_flownet_c = convert_flownet_s
+
+
+def convert_flownet_sd(sd: Dict[str, np.ndarray]):
+    """torch FlowNetSD / FlowNetFusion state_dict -> flax variables.
+
+    These variants have no shared trunk: every layer is top-level."""
+    params, stats = _convert_flownet_module(sd, trunk_names=frozenset())
+    out = {"params": params}
+    if stats:
+        out["batch_stats"] = stats
+    return out
+
+
+convert_flownet_fusion = convert_flownet_sd
+
+_FLOWNET2_SUBNETS = {
+    "flownetc": _TRUNK_NAMES,
+    "flownets_1": _TRUNK_NAMES,
+    "flownets_2": _TRUNK_NAMES,
+    "flownets_d": frozenset(),
+    "flownetfusion": frozenset(),
+}
+
+
+def convert_flownet2(sd: Dict[str, np.ndarray]):
+    """torch FlowNet2 (full stack) state_dict -> flax variables."""
+    params: dict = {}
+    stats: dict = {}
+    for sub, trunk in _FLOWNET2_SUBNETS.items():
+        p, s = _convert_flownet_module(sd, prefix=f"{sub}.",
+                                       trunk_names=trunk)
+        if p:
+            params[sub] = p
+        if s:
+            stats[sub] = s
     out = {"params": params}
     if stats:
         out["batch_stats"] = stats

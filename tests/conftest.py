@@ -2,20 +2,20 @@
 
 Multi-chip sharding is validated without hardware per SURVEY.md section 5
 (the TPU analog of "test multi-node without a cluster").
-Must run before jax initializes its backends, hence env vars set at import.
+
+NOTE: this machine's sitecustomize imports jax at interpreter start with
+JAX_PLATFORMS=axon (the TPU tunnel), so env vars set here are too late —
+jax.config.update is the reliable switch (backends are still uninitialized
+when conftest runs; verified).
 """
 
-import os
+import numpy as np
+import pytest
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-flags = os.environ.get("XLA_FLAGS", "")
-if "host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+import jax
 
-import numpy as np  # noqa: E402
-import pytest  # noqa: E402
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
 
 
 @pytest.fixture

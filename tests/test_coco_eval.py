@@ -1,0 +1,151 @@
+"""COCO keypoint AP evaluator tests — hand-computed scenarios.
+
+pycocotools is not installed (SURVEY.md section 8), so correctness is pinned
+with analytically tractable cases: perfect detections, misses, duplicate
+detections, crowd-ignore, and area-range slicing.
+"""
+
+import numpy as np
+
+from flowtrack_tpu.eval.coco_eval import (
+    COCOKeypointEval,
+    MAX_DETS,
+    compute_oks,
+    summarize,
+)
+
+K = 17
+
+
+def make_pose(cx, cy, spread=10.0, vis=2):
+    kp = []
+    rng = np.random.default_rng(abs(int(cx * 7 + cy)) % 1000)
+    for _ in range(K):
+        kp += [cx + rng.uniform(-spread, spread),
+               cy + rng.uniform(-spread, spread), vis]
+    return kp
+
+
+def gt_ann(image_id, kp, area=64.0 ** 2, iscrowd=0):
+    xs, ys = np.array(kp[0::3]), np.array(kp[1::3])
+    bbox = [xs.min(), ys.min(), xs.max() - xs.min(), ys.max() - ys.min()]
+    nk = int((np.array(kp[2::3]) > 0).sum())
+    return {"image_id": image_id, "keypoints": kp, "area": area,
+            "bbox": bbox, "iscrowd": iscrowd, "num_keypoints": nk}
+
+
+def dt_ann(image_id, kp, score):
+    return {"image_id": image_id, "keypoints": kp, "score": score}
+
+
+def test_perfect_predictions_ap1():
+    gts, dts = [], []
+    for img in range(3):
+        for p in range(2):
+            kp = make_pose(100 + 80 * p, 100 + 60 * img)
+            gts.append(gt_ann(img, kp))
+            dts.append(dt_ann(img, kp, 0.9))
+    stats = COCOKeypointEval(gts, dts).evaluate()
+    assert np.isclose(stats["AP"], 1.0)
+    assert np.isclose(stats["AR"], 1.0)
+    assert np.isclose(stats["AP50"], 1.0)
+
+
+def test_oks_identity_and_far():
+    kp = make_pose(100, 100)
+    gt = [gt_ann(0, kp)]
+    ious = compute_oks(gt, [dt_ann(0, kp, 0.9)])
+    assert np.isclose(ious[0, 0], 1.0)
+    far = make_pose(100000, 100000)
+    ious2 = compute_oks(gt, [dt_ann(0, far, 0.9)])
+    assert ious2[0, 0] < 1e-6
+
+
+def test_one_miss_halves_recall():
+    kp1, kp2 = make_pose(100, 100), make_pose(400, 400)
+    gts = [gt_ann(0, kp1), gt_ann(0, kp2)]
+    dts = [dt_ann(0, kp1, 0.9)]  # second person missed
+    stats = COCOKeypointEval(gts, dts).evaluate()
+    assert np.isclose(stats["AR"], 0.5)
+    # precision at the single detection is 1.0 -> AP = area under P(R) = 0.5
+    assert np.isclose(stats["AP"], 0.5, atol=0.01)
+
+
+def test_false_positive_lowers_ap():
+    kp = make_pose(100, 100)
+    gts = [gt_ann(0, kp)]
+    # a confident far-away FP ranked above the TP
+    dts = [dt_ann(0, make_pose(5000, 5000), 0.95), dt_ann(0, kp, 0.5)]
+    stats = COCOKeypointEval(gts, dts).evaluate()
+    assert stats["AP"] < 0.6
+    assert np.isclose(stats["AR"], 1.0)  # still found eventually
+
+
+def test_crowd_gt_ignored():
+    kp = make_pose(100, 100)
+    # crowd GT absorbs its detection; the only real GT is matched
+    kp2 = make_pose(300, 300)
+    gts = [gt_ann(0, kp, iscrowd=1), gt_ann(0, kp2)]
+    dts = [dt_ann(0, kp, 0.9), dt_ann(0, kp2, 0.8)]
+    stats = COCOKeypointEval(gts, dts).evaluate()
+    assert np.isclose(stats["AP"], 1.0)
+
+
+def test_area_ranges_slice():
+    small_kp = make_pose(100, 100, spread=5.0)
+    large_kp = make_pose(400, 400, spread=60.0)
+    gts = [gt_ann(0, small_kp, area=40.0 ** 2),
+           gt_ann(0, large_kp, area=200.0 ** 2)]
+    dts = [dt_ann(0, small_kp, 0.9), dt_ann(0, large_kp, 0.8)]
+    stats = COCOKeypointEval(gts, dts).evaluate()
+    assert np.isclose(stats["APm"], 1.0)   # only the 40^2 GT in range
+    assert np.isclose(stats["APl"], 1.0)   # only the 200^2 GT in range
+    assert np.isclose(stats["AP"], 1.0)
+
+
+def test_unlabeled_gt_bbox_fallback():
+    # GT with zero labeled keypoints: detections inside its bbox window are
+    # matched via the bbox-proximity fallback and ignored (not FPs).
+    kp_un = [0.0] * (3 * K)
+    g = gt_ann(0, kp_un, area=64.0 ** 2)
+    g["bbox"] = [80, 80, 40, 40]
+    g["num_keypoints"] = 0
+    kp_real = make_pose(300, 300)
+    gts = [g, gt_ann(0, kp_real)]
+    dts = [dt_ann(0, make_pose(100, 100, spread=3.0), 0.9),
+           dt_ann(0, kp_real, 0.8)]
+    stats = COCOKeypointEval(gts, dts).evaluate()
+    assert np.isclose(stats["AP"], 1.0)
+
+
+def test_duplicate_detections_are_fps():
+    kp = make_pose(100, 100)
+    gts = [gt_ann(0, kp)]
+    dts = [dt_ann(0, kp, 0.9), dt_ann(0, kp, 0.8)]  # duplicate
+    stats = COCOKeypointEval(gts, dts).evaluate()
+    # TP first, duplicate FP second: precision drops after recall 1.0
+    assert np.isclose(stats["AP"], 1.0)  # 101-pt AP unaffected by trailing FP
+    assert np.isclose(stats["AR"], 1.0)
+
+    # duplicate ranked FIRST drags AP down
+    dts2 = [dt_ann(0, make_pose(101, 101), 0.95), dt_ann(0, kp, 0.8)]
+    stats2 = COCOKeypointEval(gts, dts2).evaluate()
+    assert stats2["AP"] <= 1.0
+
+
+def test_summarize_formats():
+    kp = make_pose(100, 100)
+    stats = COCOKeypointEval([gt_ann(0, kp)], [dt_ann(0, kp, 0.9)]).evaluate()
+    text = summarize(stats)
+    assert "Average Precision" in text and "0.50:0.95" in text
+    assert len(text.splitlines()) == 10
+
+
+def test_max_dets_cap():
+    kp = make_pose(100, 100)
+    gts = [gt_ann(0, kp)]
+    dts = [dt_ann(0, make_pose(1000 + 50 * i, 1000), 0.99 - 0.001 * i)
+           for i in range(MAX_DETS)]
+    dts.append(dt_ann(0, kp, 0.01))  # the real one, ranked below the cap
+    stats = COCOKeypointEval(gts, dts).evaluate()
+    assert np.isclose(stats["AR"], 0.0)  # capped out by 20 FPs

@@ -1,0 +1,116 @@
+"""Correlation + resample2d + channelnorm op tests.
+
+Oracles: a dead-simple python loop for correlation (the definition from
+FlowNet arXiv:1504.06852 / the CUDA kernel contract in SURVEY.md section 3)
+and scipy.ndimage.map_coordinates for the bilinear warp (SURVEY.md section 5
+test strategy).
+"""
+
+import numpy as np
+import pytest
+from scipy import ndimage
+
+from flowtrack_tpu.ops.correlation import (
+    correlation_pallas,
+    correlation_xla,
+    displacement_grid,
+)
+from flowtrack_tpu.ops.warp import channelnorm, flow_gather, resample2d
+
+
+def corr_oracle(f1, f2, md=20, s2=2):
+    n, h, w, c = f1.shape
+    disps = list(range(-md, md + 1, s2))
+    d = len(disps)
+    out = np.zeros((n, h, w, d * d), np.float32)
+    f2p = np.pad(f2, ((0, 0), (md, md), (md, md), (0, 0)))
+    for i, dy in enumerate(disps):
+        for j, dx in enumerate(disps):
+            shifted = f2p[:, md + dy: md + dy + h, md + dx: md + dx + w]
+            out[..., i * d + j] = (f1 * shifted).sum(-1) / c
+    return out
+
+
+class TestCorrelation:
+    def test_xla_matches_oracle_small(self, rng):
+        # tiny md so the oracle is cheap; shapes deliberately non-aligned
+        f1 = rng.normal(size=(2, 9, 11, 8)).astype(np.float32)
+        f2 = rng.normal(size=(2, 9, 11, 8)).astype(np.float32)
+        got = np.asarray(correlation_xla(f1, f2, max_displacement=4, stride2=2))
+        want = corr_oracle(f1, f2, md=4, s2=2)
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+    def test_pallas_matches_xla(self, rng):
+        f1 = rng.normal(size=(1, 12, 16, 32)).astype(np.float32)
+        f2 = rng.normal(size=(1, 12, 16, 32)).astype(np.float32)
+        want = np.asarray(correlation_xla(f1, f2, max_displacement=4, stride2=2))
+        got = np.asarray(correlation_pallas(
+            f1, f2, max_displacement=4, stride2=2, block_h=4, interpret=True))
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+    @pytest.mark.slow
+    def test_pallas_full_displacement_grid(self, rng):
+        # the production config: md=20, stride2=2 -> 441 channels
+        f1 = rng.normal(size=(1, 10, 12, 16)).astype(np.float32)
+        f2 = rng.normal(size=(1, 10, 12, 16)).astype(np.float32)
+        want = np.asarray(correlation_xla(f1, f2))
+        got = np.asarray(correlation_pallas(f1, f2, block_h=5, interpret=True))
+        assert got.shape == (1, 10, 12, 441)
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+    def test_self_correlation_center_channel(self, rng):
+        # zero displacement channel of corr(f, f) == mean(f^2) over C
+        f = rng.normal(size=(1, 8, 8, 16)).astype(np.float32)
+        d = len(displacement_grid(4, 2))
+        out = np.asarray(correlation_xla(f, f, 4, 2))
+        center = (d * d) // 2
+        np.testing.assert_allclose(
+            out[..., center], (f * f).mean(-1), rtol=1e-5, atol=1e-5)
+
+
+class TestResample2d:
+    def test_matches_map_coordinates(self, rng):
+        img = rng.normal(size=(1, 12, 17, 3)).astype(np.float32)
+        flow = (rng.normal(size=(1, 12, 17, 2)) * 2).astype(np.float32)
+        got = np.asarray(resample2d(img, flow))
+
+        ys, xs = np.mgrid[0:12, 0:17].astype(np.float64)
+        for ch in range(3):
+            want = ndimage.map_coordinates(
+                img[0, :, :, ch],
+                [np.clip(ys + flow[0, :, :, 1], 0, 11),
+                 np.clip(xs + flow[0, :, :, 0], 0, 16)],
+                order=1, mode="nearest")
+            np.testing.assert_allclose(got[0, :, :, ch], want,
+                                       rtol=1e-5, atol=1e-5)
+
+    def test_zero_flow_is_identity(self, rng):
+        img = rng.normal(size=(2, 8, 8, 4)).astype(np.float32)
+        out = np.asarray(resample2d(img, np.zeros((2, 8, 8, 2), np.float32)))
+        np.testing.assert_allclose(out, img, rtol=1e-6, atol=1e-6)
+
+    def test_integer_shift(self, rng):
+        img = rng.normal(size=(1, 8, 8, 1)).astype(np.float32)
+        flow = np.full((1, 8, 8, 2), 0.0, np.float32)
+        flow[..., 0] = 1.0  # sample at x+1
+        out = np.asarray(resample2d(img, flow))
+        np.testing.assert_allclose(out[0, :, :-1, 0], img[0, :, 1:, 0],
+                                   rtol=1e-6, atol=1e-6)
+
+
+class TestChannelNormGather:
+    def test_channelnorm(self, rng):
+        x = rng.normal(size=(2, 5, 6, 7)).astype(np.float32)
+        got = np.asarray(channelnorm(x))
+        want = np.sqrt((x ** 2).sum(-1, keepdims=True))
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+    def test_flow_gather_bilinear(self):
+        # flow field = x + 10*y at every pixel; gather midway between pixels
+        flow = np.zeros((4, 4, 2), np.float32)
+        for y in range(4):
+            for x in range(4):
+                flow[y, x] = (x + 10 * y, x + 10 * y)
+        pts = np.array([[0.5, 0.0], [1.0, 1.5], [0.5, 0.5]], np.float32)
+        got = np.asarray(flow_gather(flow, pts))
+        np.testing.assert_allclose(got[:, 0], [0.5, 16.0, 5.5], atol=1e-5)
