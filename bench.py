@@ -1,0 +1,179 @@
+"""Headline benchmark: end-to-end pose+flow tracking frames/sec/chip.
+
+Measures the BASELINE.json metric — frames/sec/chip for pose+flow inference
+at 256x192 — on the available accelerator, and compares against a measured
+torch-CPU oracle of the same per-frame work (the reference's GPU fps was
+never published; SURVEY.md section 7 requires the denominator to be
+measured, so ``vs_baseline`` here is speedup over the from-scratch torch-CPU
+oracle on identical inputs — the only reference implementation available on
+this machine).
+
+Per frame of work (SURVEY.md section 4.4 hot loop):
+  * FlowNetS on the (prev, cur) 256x192 frame pair
+  * PoseResNet-50 on PERSONS person crops with flip-test (2x batch)
+  * on-device decode (argmax + quarter-pixel + inverse affine) + rescoring
+  * flow propagation + OKS similarity + greedy matching
+
+Prints ONE json line: {"metric", "value", "unit", "vs_baseline", ...extras}.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+FRAMES = int(os.environ.get("BENCH_FRAMES", "32"))
+PERSONS = int(os.environ.get("BENCH_PERSONS", "8"))
+ORACLE_FRAMES = int(os.environ.get("BENCH_ORACLE_FRAMES", "3"))
+H, W = 256, 192
+
+
+def build_tpu_step():
+    import jax
+    import jax.numpy as jnp
+
+    from flowtrack_tpu.config import get_config
+    from flowtrack_tpu.models.flownet import FlowNetS, preprocess_pair
+    from flowtrack_tpu.models.pose_resnet import get_pose_net
+    from flowtrack_tpu.ops.affine import (crop_persons,
+                                          get_affine_transform_jax,
+                                          normalize_image)
+    from flowtrack_tpu.ops.decode import get_final_preds, rescore
+    from flowtrack_tpu.ops.heatmap import merge_flip_test
+    from flowtrack_tpu.ops.oks import oks_matrix, pose_area
+    from flowtrack_tpu.ops.warp import flow_gather
+    from flowtrack_tpu.config import (COCO_FLIP_PAIRS, IMAGENET_MEAN,
+                                      IMAGENET_STD)
+    from flowtrack_tpu.tracking.tracker import greedy_match
+
+    cfg = get_config("coco_res50_256x192")
+    pose = get_pose_net(cfg.model)
+    flow_net = FlowNetS(dtype=jnp.bfloat16)
+    rngk = jax.random.PRNGKey(0)
+    pose_vars = jax.jit(pose.init, static_argnames="train")(
+        rngk, jnp.zeros((1, H, W, 3)), train=False)
+    flow_vars = jax.jit(flow_net.init, static_argnames="train")(
+        rngk, jnp.zeros((1, H, W, 6)), train=False)
+    mean = jnp.asarray(IMAGENET_MEAN, jnp.float32)
+    std = jnp.asarray(IMAGENET_STD, jnp.float32)
+
+    def frame_step(pose_vars, flow_vars, prev_frame, frame, centers, scales,
+                   scores, track_joints):
+        # flow on the frame pair
+        x = preprocess_pair(prev_frame[None], frame[None])
+        flow_q = flow_net.apply(flow_vars, x, train=False)
+        flow = jax.image.resize(flow_q * 20.0, (1, H, W, 2), "bilinear")[0]
+        # crops + pose (+fused flip test)
+        inv = get_affine_transform_jax(centers, scales, 0.0, (W, H), inv=True)
+        crops = crop_persons(frame.astype(jnp.float32), inv, (H, W))
+        crops = normalize_image(crops, mean, std)
+        both = jnp.concatenate([crops, crops[:, :, ::-1, :]], axis=0)
+        hm = pose.apply(pose_vars, both, train=False)
+        hm = merge_flip_test(hm[:PERSONS], hm[PERSONS:], COCO_FLIP_PAIRS)
+        preds, maxvals = get_final_preds(hm, centers, scales)
+        resc = rescore(scores, maxvals)
+        # propagate + match
+        prop = track_joints + flow_gather(flow, track_joints)
+        sim = oks_matrix(prop, pose_area(prop), preds, pose_area(preds))
+        assign = greedy_match(sim, 0.5)
+        return preds, maxvals, resc, assign
+
+    return jax.jit(frame_step), pose_vars, flow_vars
+
+
+def run_tpu_bench():
+    import jax
+    import jax.numpy as jnp
+
+    step, pose_vars, flow_vars = build_tpu_step()
+    rng = np.random.default_rng(0)
+    frames = jnp.asarray(rng.uniform(0, 255, (2, H, W, 3)), jnp.float32)
+    centers = jnp.asarray(
+        np.stack([rng.uniform(50, 150, PERSONS),
+                  rng.uniform(80, 180, PERSONS)], 1), jnp.float32)
+    scales = jnp.full((PERSONS, 2), 0.8, jnp.float32)
+    scores = jnp.full((PERSONS,), 0.9, jnp.float32)
+    tracks = jnp.asarray(rng.uniform(40, 160, (PERSONS, 17, 2)), jnp.float32)
+
+    args = (pose_vars, flow_vars, frames[0], frames[1], centers, scales,
+            scores, tracks)
+    out = step(*args)  # compile
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(FRAMES):
+        out = step(*args)
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+    return FRAMES / dt
+
+
+def run_oracle_bench():
+    """Same per-frame work in torch-CPU (the measured denominator)."""
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import torch
+
+    from tests.oracles.flownet_torch import FlowNetSTorch
+    from tests.oracles.pose_resnet_torch import PoseResNetTorch
+
+    torch.manual_seed(0)
+    torch.set_num_threads(os.cpu_count() or 8)
+    pose = PoseResNetTorch(50).eval()
+    flow = FlowNetSTorch().eval()
+    rng = np.random.default_rng(0)
+    pair = torch.from_numpy(
+        rng.uniform(-1, 1, (1, 6, H, W)).astype(np.float32))
+    crops = torch.from_numpy(
+        rng.uniform(-1, 1, (PERSONS * 2, 3, H, W)).astype(np.float32))
+
+    def frame():
+        with torch.no_grad():
+            f = flow(pair)
+            hm = pose(crops)  # flip test == 2x batch
+        hm_np = hm.numpy()
+        # host decode (argmax + quarter pixel), as the reference does
+        n, k, hh, ww = hm_np.shape
+        flat = hm_np.reshape(n, k, -1)
+        idx = flat.argmax(-1)
+        px, py = idx % ww, idx // ww
+        return f, px, py
+
+    frame()  # warm-up
+    t0 = time.perf_counter()
+    for _ in range(ORACLE_FRAMES):
+        frame()
+    return ORACLE_FRAMES / (time.perf_counter() - t0)
+
+
+def main():
+    import jax
+
+    platform = jax.devices()[0].platform
+    fps = run_tpu_bench()
+    oracle_fps = None
+    cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         ".bench_oracle_fps.json")
+    if os.environ.get("BENCH_SKIP_ORACLE") != "1":
+        try:
+            if os.path.exists(cache):
+                oracle_fps = json.load(open(cache))["fps"]
+            else:
+                oracle_fps = run_oracle_bench()
+                json.dump({"fps": oracle_fps}, open(cache, "w"))
+        except Exception:
+            oracle_fps = None
+
+    out = {
+        "metric": "pose+flow_tracking_frames_per_sec_per_chip",
+        "value": round(fps, 2),
+        "unit": f"frames/s (256x192, {PERSONS} persons, flip-test)",
+        "vs_baseline": round(fps / oracle_fps, 2) if oracle_fps else None,
+        "platform": platform,
+        "oracle_fps_torch_cpu": round(oracle_fps, 3) if oracle_fps else None,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

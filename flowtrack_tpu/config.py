@@ -117,6 +117,7 @@ class TrackConfig:
     """FlowTrack video pipeline knobs (reference tracker, SURVEY.md section 4.4)."""
 
     track_oks_thre: float = 0.5    # greedy matching similarity threshold
+    box_nms_thre: float = 0.5      # unified det+propagated box suppression
     box_expand: float = 0.15       # propagated-box expansion
     max_persons: int = 32          # static pad for ragged persons-per-frame
     pose_score_thre: float = 0.3   # drop low-score candidates before matching

@@ -60,7 +60,10 @@ def create_train_state(model, cfg: Config, rng, sample_input,
                        steps_per_epoch: int = 1,
                        variables: Optional[dict] = None) -> TrainState:
     if variables is None:
-        variables = model.init(rng, sample_input, train=False)
+        # jitted init: the unjitted flax init runs ops one-by-one and takes
+        # minutes for a ResNet on CPU (measured)
+        variables = jax.jit(model.init, static_argnames="train")(
+            rng, sample_input, train=False)
     tx, _ = make_optimizer(cfg, steps_per_epoch)
     params = variables["params"]
     return TrainState(

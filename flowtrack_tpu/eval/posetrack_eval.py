@@ -1,0 +1,180 @@
+"""PoseTrack evaluation: per-joint mAP + CLEAR-MOT MOTA.
+
+poseval is not installed (SURVEY.md section 8), so the PoseTrack protocol is
+re-implemented from its published definition (PoseTrack benchmark /
+CLEAR-MOT, Bernardin & Stiefelhagen 2008):
+
+  * Pose-level matching per frame: greedy assignment maximizing PCKh
+    correspondence — a predicted joint "hits" a GT joint when their distance
+    is <= 0.5 * GT head size.
+  * mAP: per-joint AP over all frames; predicted joints carry their pose
+    score; PR curve by descending score, all-point interpolation.
+  * MOTA per joint: 1 - (misses + false positives + ID switches) / #GT,
+    where an ID switch is a GT track whose matched predicted track id
+    changes between consecutive matched frames.
+
+Inputs are per-frame lists:
+  gt:   {track_id, keypoints (K, 3) [x, y, labeled], head_size}
+  pred: {track_id, keypoints (K, 3) [x, y, conf], score}
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Sequence
+
+import numpy as np
+
+PCKH_THRESH = 0.5
+
+
+def _joint_hits(gt_pose, pred_pose):
+    """(K,) bool: predicted joint within 0.5*head of the labeled GT joint."""
+    g = np.asarray(gt_pose["keypoints"], np.float64)
+    p = np.asarray(pred_pose["keypoints"], np.float64)
+    labeled = g[:, 2] > 0
+    dist = np.linalg.norm(p[:, :2] - g[:, :2], axis=1)
+    thresh = PCKH_THRESH * max(float(gt_pose["head_size"]), 1e-6)
+    return (dist <= thresh) & labeled
+
+
+def match_frame(gts: List[dict], preds: List[dict]):
+    """Greedy pose assignment by descending joint-hit count.
+
+    Returns list of (gt_idx, pred_idx, hits (K,) bool)."""
+    if not gts or not preds:
+        return []
+    scores = np.zeros((len(gts), len(preds)))
+    hits_all = {}
+    for i, g in enumerate(gts):
+        for j, p in enumerate(preds):
+            h = _joint_hits(g, p)
+            hits_all[(i, j)] = h
+            scores[i, j] = h.sum()
+    matches = []
+    s = scores.copy()
+    while True:
+        i, j = np.unravel_index(np.argmax(s), s.shape)
+        if s[i, j] <= 0:
+            break
+        matches.append((int(i), int(j), hits_all[(i, j)]))
+        s[i, :] = -1
+        s[:, j] = -1
+    return matches
+
+
+def _average_precision(scores, is_tp, num_gt):
+    if num_gt == 0:
+        return float("nan")
+    if len(scores) == 0:
+        return 0.0
+    order = np.argsort(-np.asarray(scores), kind="mergesort")
+    tp = np.asarray(is_tp)[order]
+    fp = ~tp
+    tp_c = np.cumsum(tp)
+    fp_c = np.cumsum(fp)
+    recall = tp_c / num_gt
+    precision = tp_c / np.maximum(tp_c + fp_c, 1e-12)
+    # all-point interpolation
+    ap = 0.0
+    prev_r = 0.0
+    for k in range(len(recall)):
+        if tp[k]:
+            ap += precision[k] * (recall[k] - prev_r)
+            prev_r = recall[k]
+    return float(ap)
+
+
+def evaluate_posetrack(gt_sequences: Sequence[Sequence[List[dict]]],
+                       pred_sequences: Sequence[Sequence[List[dict]]],
+                       num_joints: int = 17,
+                       joint_names: Dict[int, str] = None):
+    """Evaluate over sequences (lists of per-frame pose lists).
+
+    Returns {"mAP": ..., "MOTA": ..., "per_joint_AP": (K,),
+    "per_joint_MOTA": (K,), "num_switches": int}."""
+    # -- AP accumulation
+    joint_scores = [[] for _ in range(num_joints)]
+    joint_tp = [[] for _ in range(num_joints)]
+    joint_gt_count = np.zeros(num_joints, np.int64)
+    # -- MOT accumulation
+    miss = np.zeros(num_joints, np.int64)
+    fp = np.zeros(num_joints, np.int64)
+    switches = np.zeros(num_joints, np.int64)
+
+    for gt_seq, pred_seq in zip(gt_sequences, pred_sequences):
+        last_match: Dict[int, int] = {}  # gt track -> pred track (per joint
+        # switches are counted pose-level per the protocol simplification)
+        last_match_joint = [dict() for _ in range(num_joints)]
+        for gts, preds in zip(gt_seq, pred_seq):
+            for g in gts:
+                labeled = np.asarray(g["keypoints"])[:, 2] > 0
+                joint_gt_count += labeled.astype(np.int64)
+            matches = match_frame(gts, preds)
+            matched_gt = {m[0] for m in matches}
+            matched_pred = {m[1] for m in matches}
+
+            for gi, pi, hits in matches:
+                g, p = gts[gi], preds[pi]
+                labeled = np.asarray(g["keypoints"])[:, 2] > 0
+                pconf = np.asarray(p["keypoints"])[:, 2]
+                for k in range(num_joints):
+                    if labeled[k]:
+                        if hits[k]:
+                            joint_scores[k].append(float(p.get(
+                                "score", pconf[k])))
+                            joint_tp[k].append(True)
+                            # ID continuity per joint
+                            gtid, prid = g["track_id"], p["track_id"]
+                            prev = last_match_joint[k].get(gtid)
+                            if prev is not None and prev != prid:
+                                switches[k] += 1
+                            last_match_joint[k][gtid] = prid
+                        else:
+                            miss[k] += 1
+                    # predicted joint with no labeled GT joint in its
+                    # matched pose counts as FP below
+
+            # FPs: joints of unmatched predicted poses + missed joints of
+            # matched poses whose prediction landed elsewhere
+            for pi, p in enumerate(preds):
+                pconf = np.asarray(p["keypoints"])[:, 2]
+                if pi not in matched_pred:
+                    for k in range(num_joints):
+                        joint_scores[k].append(float(p.get("score",
+                                                           pconf[k])))
+                        joint_tp[k].append(False)
+                        fp[k] += 1
+            for gi, pi, hits in matches:
+                g = gts[gi]
+                labeled = np.asarray(g["keypoints"])[:, 2] > 0
+                p = preds[pi]
+                pconf = np.asarray(p["keypoints"])[:, 2]
+                for k in range(num_joints):
+                    if labeled[k] and not hits[k]:
+                        joint_scores[k].append(float(p.get("score",
+                                                           pconf[k])))
+                        joint_tp[k].append(False)
+                        fp[k] += 1
+            # unmatched GT poses: all their labeled joints are misses
+            for gi, g in enumerate(gts):
+                if gi in matched_gt:
+                    continue
+                labeled = np.asarray(g["keypoints"])[:, 2] > 0
+                miss += labeled.astype(np.int64)
+
+    per_joint_ap = np.array([
+        _average_precision(joint_scores[k], joint_tp[k], joint_gt_count[k])
+        for k in range(num_joints)])
+    with np.errstate(divide="ignore", invalid="ignore"):
+        per_joint_mota = 1.0 - (miss + fp + switches) / np.maximum(
+            joint_gt_count, 1)
+    valid = joint_gt_count > 0
+    return {
+        "mAP": float(np.nanmean(per_joint_ap[valid])) if valid.any() else 0.0,
+        "MOTA": float(np.mean(per_joint_mota[valid])) if valid.any() else 0.0,
+        "per_joint_AP": per_joint_ap,
+        "per_joint_MOTA": per_joint_mota,
+        "num_switches": int(switches.sum()),
+        "num_misses": int(miss.sum()),
+        "num_fps": int(fp.sum()),
+    }

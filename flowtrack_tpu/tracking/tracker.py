@@ -1,0 +1,274 @@
+"""FlowTrack tracker: detect + flow-propagate -> unified NMS -> pose ->
+greedy OKS matching -> track IDs.
+
+Behavior contract (SURVEY.md section 4.4; reference lineage: tracking/ /
+demo.py, algorithm per arXiv:1804.06208 section 4):
+
+  * propagate: joints'_t = joints_{t-1} + flow(joints_{t-1}) (bilinear
+    gather); propagated box = bbox(joints') expanded by 15%.
+  * candidate boxes = NMS(detections U propagated boxes) — the "unified
+    suppression" that recovers detector misses.
+  * similarity(track i, candidate j) = OKS(flow-propagated pose_i, pose_j).
+  * greedy assignment: repeatedly take the global max above the threshold,
+    assign that track id, mask row+column; unmatched candidates start new
+    tracks.
+
+TPU-native design: propagation, box geometry, the similarity matrix and the
+greedy assignment are all static-shape jnp (the greedy loop is a
+``lax.scan`` of masked argmaxes — SURVEY.md section 3 "Greedy OKS
+matching"); ragged person counts are padded to ``max_persons`` with validity
+masks that cannot perturb the greedy order (invalid entries read -inf).
+The host only supplies detection boxes and collects track ids per frame.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass, field
+from typing import Callable, List, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from flowtrack_tpu.config import Config
+from flowtrack_tpu.ops.nms import iou_matrix, greedy_nms_from_matrix
+from flowtrack_tpu.ops.oks import oks_matrix, pose_area
+from flowtrack_tpu.ops.warp import flow_gather
+
+
+# ---------------------------------------------------------------------------
+# Device-side primitives
+# ---------------------------------------------------------------------------
+
+def propagate_poses(joints, flow):
+    """joints: (M, K, 2) image coords; flow: (H, W, 2) -> (M, K, 2).
+
+    joint' = joint + flow[joint] (bilinear; edge-clamped)."""
+    return joints + flow_gather(flow, joints)
+
+
+def boxes_from_poses(joints, expand: float = 0.15, conf=None,
+                     conf_thre: float = 0.0):
+    """(M, K, 2) -> (M, 4) xyxy boxes around the (confident) joints,
+    expanded by ``expand`` on each side."""
+    if conf is not None:
+        ok = (conf > conf_thre)[..., None]
+        big = jnp.asarray(1e9, joints.dtype)
+        mins = jnp.min(jnp.where(ok, joints, big), axis=-2)
+        maxs = jnp.max(jnp.where(ok, joints, -big), axis=-2)
+    else:
+        mins = jnp.min(joints, axis=-2)
+        maxs = jnp.max(joints, axis=-2)
+    wh = jnp.maximum(maxs - mins, 0.0)
+    mins = mins - wh * expand
+    maxs = maxs + wh * expand
+    return jnp.concatenate([mins, maxs], axis=-1)
+
+
+def unify_boxes(det_boxes, det_scores, det_valid, prop_boxes, prop_scores,
+                prop_valid, nms_thre: float):
+    """Concat detection + propagated boxes, greedy IoU NMS.
+
+    All inputs padded: det (D, 4)/(D,), prop (P, 4)/(P,). Returns
+    (boxes (D+P, 4), scores, keep_mask). nms_thre >= 1 disables suppression
+    (the reference's TEST.NMS_THRE=1.0 default keeps every box)."""
+    boxes = jnp.concatenate([det_boxes, prop_boxes], axis=0)
+    scores = jnp.concatenate([det_scores, prop_scores], axis=0)
+    valid = jnp.concatenate([det_valid, prop_valid], axis=0)
+    keep = greedy_nms_from_matrix(iou_matrix(boxes, boxes), scores,
+                                  nms_thre, valid)
+    return boxes, scores, keep & valid
+
+
+def greedy_match(sim, thr, row_valid=None, col_valid=None):
+    """Greedy global-max assignment (SURVEY.md section 4.4 matching loop).
+
+    sim: (M, N) track-to-candidate similarity. Returns (N,) int32: the row
+    (track index) assigned to each column (candidate), -1 if none. Static
+    shapes, lax.scan — jit/vmap safe.
+    """
+    m, n = sim.shape
+    neg = jnp.asarray(-jnp.inf, jnp.float32)
+    sim = jnp.asarray(sim, jnp.float32)
+    if row_valid is not None:
+        sim = jnp.where(row_valid[:, None], sim, neg)
+    if col_valid is not None:
+        sim = jnp.where(col_valid[None, :], sim, neg)
+
+    def step(state, _):
+        s, assign = state
+        idx = jnp.argmax(s)
+        i, j = idx // n, idx % n
+        ok = s[i, j] > thr
+        assign = assign.at[j].set(jnp.where(ok, i, assign[j]))
+        row_mask = jnp.arange(m) == i
+        col_mask = jnp.arange(n) == j
+        kill = row_mask[:, None] | col_mask[None, :]
+        s = jnp.where(ok & kill, neg, s)
+        # if nothing exceeded thr we are done; make the state a fixed point
+        s = jnp.where(ok, s, jnp.full_like(s, neg))
+        return (s, assign), None
+
+    init = (sim, jnp.full((n,), -1, jnp.int32))
+    (_, assign), _ = jax.lax.scan(step, init, None, length=min(m, n))
+    return assign
+
+
+@functools.partial(jax.jit, static_argnames=("track_thr",))
+def match_step(track_joints, track_valid, cand_joints, cand_valid,
+               flow, track_thr: float = 0.5):
+    """One fused device step of the matcher: propagate tracks through the
+    flow, build the OKS similarity matrix, greedy-assign.
+
+    track_joints: (M, K, 2); cand_joints: (N, K, 2); flow: (H, W, 2).
+    Returns (assign (N,) int32 row index or -1, propagated (M, K, 2))."""
+    prop = propagate_poses(track_joints, flow)
+    areas_t = pose_area(prop)
+    areas_c = pose_area(cand_joints)
+    sim = oks_matrix(prop, areas_t, cand_joints, areas_c)
+    assign = greedy_match(sim, track_thr, track_valid, cand_valid)
+    return assign, prop
+
+
+# ---------------------------------------------------------------------------
+# Host-side orchestration
+# ---------------------------------------------------------------------------
+
+@dataclass
+class Track:
+    track_id: int
+    joints: np.ndarray          # (K, 2) image coords
+    maxvals: np.ndarray         # (K,)
+    score: float
+    last_frame: int
+
+
+@dataclass
+class FlowTracker:
+    """Sequential per-frame tracker (O(1) state: previous tracks + one flow).
+
+    pose_fn(image, boxes (B, 4) xywh, scores (B,)) -> (joints (B, K, 2),
+    maxvals (B, K), rescored (B,)) — typically pipeline.PosePredictor.
+    flow_fn(prev_image, image) -> (H, W, 2) full-resolution flow, or None
+    for the flow-free ablation (detector-only tracking).
+    """
+
+    cfg: Config
+    pose_fn: Callable
+    flow_fn: Optional[Callable] = None
+    tracks: List[Track] = field(default_factory=list)
+    next_id: int = 0
+    _prev_image: Optional[np.ndarray] = None
+    _frame: int = 0
+
+    def reset(self):
+        self.tracks = []
+        self.next_id = 0
+        self._prev_image = None
+        self._frame = 0
+
+    def step(self, image: np.ndarray, det_boxes: np.ndarray,
+             det_scores: np.ndarray) -> List[Track]:
+        """Process one frame. det_boxes: (D, 4) xywh; det_scores: (D,).
+        Returns the updated live track list (also kept as state)."""
+        tcfg = self.cfg.track
+        flow = None
+        if self.flow_fn is not None and self._prev_image is not None \
+                and self.tracks:
+            flow = np.asarray(self.flow_fn(self._prev_image, image))
+
+        # --- propagated boxes from surviving tracks
+        prop_boxes_xywh = np.zeros((0, 4), np.float32)
+        prop_scores = np.zeros((0,), np.float32)
+        track_joints = np.zeros((0, 17, 2), np.float32)
+        if self.tracks and flow is not None:
+            track_joints = np.stack([t.joints for t in self.tracks])
+            prop = np.asarray(propagate_poses(
+                jnp.asarray(track_joints), jnp.asarray(flow)))
+            pb = np.asarray(boxes_from_poses(jnp.asarray(prop),
+                                             tcfg.box_expand))
+            prop_boxes_xywh = np.concatenate(
+                [pb[:, :2], pb[:, 2:] - pb[:, :2]], axis=1)
+            prop_scores = np.array([t.score for t in self.tracks],
+                                   np.float32)
+
+        # --- unified suppression over det + propagated boxes
+        det_boxes = np.asarray(det_boxes, np.float32).reshape(-1, 4)
+        det_scores = np.asarray(det_scores, np.float32).reshape(-1)
+        boxes = np.concatenate([det_boxes, prop_boxes_xywh], axis=0)
+        scores = np.concatenate([det_scores, prop_scores], axis=0)
+        good = (boxes[:, 2] > 1) & (boxes[:, 3] > 1)
+        boxes, scores = boxes[good], scores[good]
+        if len(boxes) and tcfg.box_nms_thre < 1.0:
+            xyxy = np.concatenate(
+                [boxes[:, :2], boxes[:, :2] + boxes[:, 2:]], axis=1)
+            keep = np.asarray(greedy_nms_from_matrix(
+                iou_matrix(jnp.asarray(xyxy), jnp.asarray(xyxy)),
+                jnp.asarray(scores), tcfg.box_nms_thre))
+            boxes, scores = boxes[keep], scores[keep]
+
+        # --- pose on the union
+        if len(boxes):
+            joints, maxvals, rescored = self.pose_fn(image, boxes, scores)
+            joints = np.asarray(joints)
+            maxvals = np.asarray(maxvals)
+            rescored = np.asarray(rescored)
+            ok = rescored >= tcfg.pose_score_thre
+            joints, maxvals, rescored = joints[ok], maxvals[ok], rescored[ok]
+        else:
+            joints = np.zeros((0, 17, 2), np.float32)
+            maxvals = np.zeros((0, 17), np.float32)
+            rescored = np.zeros((0,), np.float32)
+
+        # --- greedy OKS id assignment against flow-propagated tracks
+        assign = np.full((len(joints),), -1, np.int32)
+        if len(self.tracks) and len(joints) and flow is not None:
+            m = len(self.tracks)
+            n = len(joints)
+            assign = np.asarray(match_step(
+                jnp.asarray(track_joints), jnp.ones((m,), bool),
+                jnp.asarray(joints, jnp.float32), jnp.ones((n,), bool),
+                jnp.asarray(flow), track_thr=tcfg.track_oks_thre)[0])
+
+        new_tracks: List[Track] = []
+        for j in range(len(joints)):
+            if assign[j] >= 0:
+                tid = self.tracks[assign[j]].track_id
+            else:
+                tid = self.next_id
+                self.next_id += 1
+            new_tracks.append(Track(tid, joints[j], maxvals[j],
+                                    float(rescored[j]), self._frame))
+        self.tracks = new_tracks
+        self._prev_image = image
+        self._frame += 1
+        return new_tracks
+
+    def track_sequence(self, frames, detections) -> List[List[Track]]:
+        """frames: iterable of RGB images; detections: per-frame
+        (boxes (D,4) xywh, scores (D,)). Returns per-frame track lists."""
+        self.reset()
+        out = []
+        for img, (boxes, scores) in zip(frames, detections):
+            out.append(list(self.step(img, boxes, scores)))
+        return out
+
+
+def tracks_to_posetrack_json(per_frame_tracks, image_ids):
+    """Serialize tracker output to PoseTrack-format annotations."""
+    annotations = []
+    for image_id, tracks in zip(image_ids, per_frame_tracks):
+        for t in tracks:
+            kp = []
+            for (x, y), v in zip(t.joints, t.maxvals):
+                kp += [float(x), float(y), float(v)]
+            annotations.append({
+                "image_id": int(image_id),
+                "track_id": int(t.track_id),
+                "keypoints": kp,
+                "scores": [float(v) for v in t.maxvals],
+                "score": float(t.score),
+                "category_id": 1,
+            })
+    return annotations

@@ -1,0 +1,157 @@
+"""Tracker + PoseTrack-eval tests: greedy matching semantics, propagation,
+padding invariance, ID stability over a synthetic moving sequence, and the
+mAP/MOTA evaluator on hand-built scenarios."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from flowtrack_tpu.eval.posetrack_eval import evaluate_posetrack, match_frame
+from flowtrack_tpu.tracking import (
+    boxes_from_poses,
+    greedy_match,
+    propagate_poses,
+)
+from flowtrack_tpu.tracking.tracker import match_step
+
+K = 17
+
+
+def pose_at(cx, cy, rng=None, spread=20.0):
+    rng = rng or np.random.default_rng(int(cx + cy) % 997)
+    return np.array([cx, cy]) + rng.uniform(-spread, spread, (K, 2))
+
+
+class TestGreedyMatch:
+    def test_identity_assignment(self):
+        sim = np.eye(3, dtype=np.float32) * 0.9
+        assign = np.asarray(greedy_match(jnp.asarray(sim), 0.5))
+        np.testing.assert_array_equal(assign, [0, 1, 2])
+
+    def test_global_max_order(self):
+        # candidate 0 similar to both tracks, but track 1 likes candidate 1
+        # more. Global-max greedy: (t0,c0)=0.8 first, then (t1,c1)=0.7.
+        sim = np.array([[0.8, 0.1], [0.6, 0.7]], np.float32)
+        assign = np.asarray(greedy_match(jnp.asarray(sim), 0.5))
+        np.testing.assert_array_equal(assign, [0, 1])
+
+        # conflict case: both prefer candidate 0; best sim wins it
+        sim2 = np.array([[0.9, 0.2], [0.8, 0.6]], np.float32)
+        assign2 = np.asarray(greedy_match(jnp.asarray(sim2), 0.5))
+        np.testing.assert_array_equal(assign2, [0, 1])
+
+    def test_threshold_blocks(self):
+        sim = np.array([[0.4]], np.float32)
+        assert np.asarray(greedy_match(jnp.asarray(sim), 0.5))[0] == -1
+
+    def test_padding_invariance(self):
+        rng = np.random.default_rng(0)
+        sim = rng.uniform(0, 1, (3, 4)).astype(np.float32)
+        base = np.asarray(greedy_match(jnp.asarray(sim), 0.3))
+        # pad with extra invalid rows/cols
+        simp = np.zeros((6, 7), np.float32)
+        simp[:3, :4] = sim
+        simp[3:, :] = 0.99  # junk that must never win
+        simp[:, 4:] = 0.99
+        rv = np.array([1, 1, 1, 0, 0, 0], bool)
+        cv = np.array([1, 1, 1, 1, 0, 0, 0], bool)
+        padded = np.asarray(greedy_match(jnp.asarray(simp), 0.3,
+                                         jnp.asarray(rv), jnp.asarray(cv)))
+        np.testing.assert_array_equal(padded[:4], base)
+        assert (padded[4:] == -1).all()
+
+
+class TestPropagation:
+    def test_constant_flow(self):
+        joints = np.stack([pose_at(100, 100), pose_at(200, 150)])
+        flow = np.zeros((300, 300, 2), np.float32)
+        flow[..., 0] = 5.0
+        flow[..., 1] = -3.0
+        prop = np.asarray(propagate_poses(jnp.asarray(joints, jnp.float32),
+                                          jnp.asarray(flow)))
+        np.testing.assert_allclose(prop, joints + [5.0, -3.0], atol=1e-4)
+
+    def test_boxes_from_poses_expand(self):
+        joints = jnp.asarray([[[10.0, 20.0], [30.0, 60.0]]])  # (1, 2, 2)
+        box = np.asarray(boxes_from_poses(joints, expand=0.0))[0]
+        np.testing.assert_allclose(box, [10, 20, 30, 60])
+        box2 = np.asarray(boxes_from_poses(joints, expand=0.5))[0]
+        np.testing.assert_allclose(box2, [0, 0, 40, 80])
+
+    def test_match_step_identity_flow(self):
+        tracks = np.stack([pose_at(100, 100), pose_at(220, 100)]) \
+            .astype(np.float32)
+        # candidates = same poses slightly perturbed, order swapped
+        cands = np.stack([tracks[1] + 1.0, tracks[0] - 1.0]).astype(np.float32)
+        flow = np.zeros((300, 400, 2), np.float32)
+        assign, prop = match_step(
+            jnp.asarray(tracks), jnp.ones(2, bool),
+            jnp.asarray(cands), jnp.ones(2, bool),
+            jnp.asarray(flow), track_thr=0.3)
+        np.testing.assert_array_equal(np.asarray(assign), [1, 0])
+        np.testing.assert_allclose(np.asarray(prop), tracks, atol=1e-4)
+
+
+def _gt(track_id, cx, cy, head=20.0, rng=None):
+    kp = np.concatenate([pose_at(cx, cy, rng), np.ones((K, 1))], axis=1)
+    return {"track_id": track_id, "keypoints": kp, "head_size": head}
+
+
+def _pred_from(gt, track_id=None, noise=0.0, score=0.9, rng=None):
+    rng = rng or np.random.default_rng(1)
+    kp = np.asarray(gt["keypoints"]).copy()
+    kp[:, :2] += rng.uniform(-noise, noise, (K, 2)) if noise else 0.0
+    kp[:, 2] = score
+    return {"track_id": gt["track_id"] if track_id is None else track_id,
+            "keypoints": kp, "score": score}
+
+
+class TestPoseTrackEval:
+    def test_perfect_tracking(self):
+        rng = np.random.default_rng(0)
+        seq_gt, seq_pred = [], []
+        for t in range(5):
+            gts = [_gt(0, 100 + 5 * t, 100, rng=rng),
+                   _gt(1, 250 - 5 * t, 120, rng=rng)]
+            seq_gt.append(gts)
+            seq_pred.append([_pred_from(g) for g in gts])
+        out = evaluate_posetrack([seq_gt], [seq_pred])
+        assert np.isclose(out["mAP"], 1.0)
+        assert np.isclose(out["MOTA"], 1.0)
+        assert out["num_switches"] == 0
+
+    def test_id_switch_counted(self):
+        rng = np.random.default_rng(0)
+        g0, g1 = _gt(0, 100, 100, rng=rng), _gt(1, 300, 100, rng=rng)
+        seq_gt = [[g0, g1], [g0, g1], [g0, g1]]
+        seq_pred = [
+            [_pred_from(g0, 10), _pred_from(g1, 11)],
+            [_pred_from(g0, 11), _pred_from(g1, 10)],  # swap!
+            [_pred_from(g0, 11), _pred_from(g1, 10)],
+        ]
+        out = evaluate_posetrack([seq_gt], [seq_pred])
+        assert out["num_switches"] == 2 * K  # both tracks switch, per joint
+        assert out["MOTA"] < 1.0
+        assert np.isclose(out["mAP"], 1.0)  # localization still perfect
+
+    def test_miss_and_fp(self):
+        rng = np.random.default_rng(0)
+        g0, g1 = _gt(0, 100, 100, rng=rng), _gt(1, 300, 100, rng=rng)
+        far = _gt(9, 900, 900, rng=rng)
+        seq_gt = [[g0, g1]]
+        seq_pred = [[_pred_from(g0, 10), _pred_from(far, 12, score=0.99)]]
+        out = evaluate_posetrack([seq_gt], [seq_pred])
+        assert out["num_misses"] == K          # g1 fully missed
+        assert out["num_fps"] == K             # far pose all FPs
+        # MOTA = 1 - (K + K)/(2K) = 0
+        assert np.isclose(out["MOTA"], 0.0)
+        # high-scored FP ahead of the TP halves per-joint AP
+        assert out["mAP"] < 0.6
+
+    def test_match_frame_prefers_closer(self):
+        rng = np.random.default_rng(0)
+        g = _gt(0, 100, 100, rng=rng)
+        near = _pred_from(g, 1, noise=2.0)
+        far = _pred_from(g, 2, noise=200.0)
+        matches = match_frame([g], [far, near])
+        assert len(matches) == 1
+        assert matches[0][1] == 1  # the near one

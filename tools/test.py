@@ -1,0 +1,118 @@
+#!/usr/bin/env python
+"""Evaluate a pose model on COCO/MPII (reference CLI twin: ``test.py``).
+
+The validate loop (SURVEY.md section 4.2) with everything on device:
+batched crops -> forward with fused flip-test -> decode -> rescore; then
+host-side OKS-NMS + COCO AP (in-repo evaluator).
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from flowtrack_tpu.config import (
+    COCO_FLIP_PAIRS,
+    MPII_FLIP_PAIRS,
+    apply_overrides,
+    get_config,
+)
+from flowtrack_tpu.data import BatchLoader, COCODataset, MPIIDataset
+from flowtrack_tpu.engine.checkpoint import load_npz_variables
+from flowtrack_tpu.engine.train import pose_forward_fn
+from flowtrack_tpu.models.pose_resnet import get_pose_net
+from flowtrack_tpu.ops.decode import get_final_preds, rescore
+from flowtrack_tpu.parallel import batch_sharding, make_mesh
+from flowtrack_tpu.utils.logging import setup_logging
+
+log = logging.getLogger("flowtrack.test")
+
+
+def run_validation(cfg, model, variables, mesh=None, output_dir=None,
+                   dataset=None):
+    """Returns the eval stats dict (AP table for COCO, PCKh for MPII)."""
+    if dataset is None:
+        if cfg.data.dataset == "mpii":
+            dataset = MPIIDataset(cfg, cfg.data.root, "valid",
+                                  is_train=False)
+        else:
+            dataset = COCODataset(cfg, cfg.data.root, cfg.data.test_set,
+                                  is_train=False,
+                                  bbox_file=cfg.test.bbox_file or None)
+    flip_pairs = (MPII_FLIP_PAIRS if cfg.data.dataset == "mpii"
+                  else COCO_FLIP_PAIRS)
+    mesh = mesh or make_mesh(cfg.mesh.num_devices)
+    data_sh = batch_sharding(mesh)
+
+    batch_size = cfg.test.batch_size * mesh.size
+    loader = BatchLoader(dataset, batch_size, pad_to_batch=True)
+
+    fwd = pose_forward_fn(model, variables, cfg.test.flip_test, flip_pairs,
+                          cfg.test.shift_heatmap)
+
+    @jax.jit
+    def step(inp, center, scale, score):
+        hm = fwd(inp)
+        preds, maxvals = get_final_preds(hm, center, scale,
+                                         cfg.test.post_process)
+        return preds, maxvals, rescore(score, maxvals, cfg.test.in_vis_thre)
+
+    all_preds, all_maxvals, all_scores, all_ids = [], [], [], []
+    for batch in loader:
+        n = int(batch["n_valid"])
+        preds, maxvals, scores = step(
+            jax.device_put(batch["input"], data_sh),
+            jax.device_put(batch["center"], data_sh),
+            jax.device_put(batch["scale"], data_sh),
+            jax.device_put(batch["score"], data_sh))
+        all_preds.append(np.asarray(preds)[:n])
+        all_maxvals.append(np.asarray(maxvals)[:n])
+        all_scores.append(np.asarray(scores)[:n])
+        all_ids.append(np.asarray(batch["image_id"])[:n])
+
+    preds = np.concatenate(all_preds)
+    maxvals = np.concatenate(all_maxvals)
+    scores = np.concatenate(all_scores)
+    ids = np.concatenate(all_ids)
+
+    if cfg.data.dataset == "mpii":
+        stats = dataset.evaluate(preds)
+        log.info("PCKh@0.5: %s", stats)
+        return stats
+    stats, _ = dataset.evaluate(preds, maxvals, scores, ids,
+                                output_dir=output_dir)
+    dataset.print_eval(stats)
+    return stats
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cfg", default="coco_res50_256x192")
+    ap.add_argument("--weights", required=True,
+                    help=".npz flax variables or torch .pth")
+    ap.add_argument("--out", default="output/eval")
+    ap.add_argument("opts", nargs="*")
+    args = ap.parse_args()
+    setup_logging()
+
+    cfg = apply_overrides(get_config(args.cfg), args.opts)
+    model = get_pose_net(cfg.model)
+    if args.weights.endswith(".npz"):
+        variables = load_npz_variables(args.weights)
+    else:
+        from flowtrack_tpu.utils.torch_convert import (
+            convert_pose_resnet,
+            load_torch_file,
+        )
+
+        variables = convert_pose_resnet(load_torch_file(args.weights))
+    variables = jax.tree.map(jnp.asarray, variables)
+    run_validation(cfg, model, variables, output_dir=args.out)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,141 @@
+#!/usr/bin/env python
+"""FlowTrack over PoseTrack sequences (reference CLI twin: tracking entry).
+
+detect-json + frames -> flow propagation -> pose -> greedy OKS ids ->
+PoseTrack json + mAP/MOTA (SURVEY.md section 4.4).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import logging
+import os
+from collections import defaultdict
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from flowtrack_tpu.config import apply_overrides, get_config
+from flowtrack_tpu.data import PoseTrackDataset
+from flowtrack_tpu.data.pose_dataset import load_image
+from flowtrack_tpu.engine.checkpoint import load_npz_variables
+from flowtrack_tpu.eval.posetrack_eval import evaluate_posetrack
+from flowtrack_tpu.pipeline import FlowPredictor, PosePredictor
+from flowtrack_tpu.tracking import FlowTracker
+from flowtrack_tpu.tracking.tracker import tracks_to_posetrack_json
+from flowtrack_tpu.utils.logging import setup_logging
+
+log = logging.getLogger("flowtrack.track")
+
+
+def load_detections(path):
+    """detection json -> image_id -> (boxes xywh, scores)."""
+    with open(path) as f:
+        dets = json.load(f)
+    by_img = defaultdict(lambda: ([], []))
+    for d in dets:
+        if d.get("category_id", 1) != 1:
+            continue
+        by_img[d["image_id"]][0].append(d["bbox"])
+        by_img[d["image_id"]][1].append(d.get("score", 1.0))
+    return {k: (np.asarray(b, np.float32), np.asarray(s, np.float32))
+            for k, (b, s) in by_img.items()}
+
+
+def gt_detections(dataset, image_id):
+    anns = dataset.frame_annotations(image_id)
+    boxes, scores = [], []
+    for a in anns:
+        if a["bbox"] is not None:
+            boxes.append(a["bbox"])
+            scores.append(1.0)
+    return (np.asarray(boxes, np.float32).reshape(-1, 4),
+            np.asarray(scores, np.float32))
+
+
+def track_all(cfg, dataset, pose_pred, flow_pred, detections=None,
+              max_frames=None):
+    """Run the tracker over every sequence; returns (pred_sequences,
+    gt_sequences, all PoseTrack-format annotations)."""
+    pred_sequences, gt_sequences, all_json = [], [], []
+    for vid, frame_ids in sorted(dataset.sequences().items()):
+        if max_frames:
+            frame_ids = frame_ids[:max_frames]
+        tracker = FlowTracker(cfg=cfg, pose_fn=pose_pred, flow_fn=flow_pred)
+        per_frame = []
+        for image_id in frame_ids:
+            img = load_image(dataset.frame_path(image_id))
+            if detections is not None:
+                boxes, scores = detections.get(
+                    image_id, (np.zeros((0, 4), np.float32),
+                               np.zeros((0,), np.float32)))
+            else:
+                boxes, scores = gt_detections(dataset, image_id)
+            per_frame.append(list(tracker.step(img, boxes, scores)))
+        all_json += tracks_to_posetrack_json(per_frame, frame_ids)
+
+        pred_seq, gt_seq = [], []
+        for image_id, tracks in zip(frame_ids, per_frame):
+            pred_seq.append([
+                {"track_id": t.track_id,
+                 "keypoints": np.concatenate(
+                     [t.joints, t.maxvals[:, None]], axis=1),
+                 "score": t.score} for t in tracks])
+            gt_seq.append(dataset.frame_annotations(image_id))
+        pred_sequences.append(pred_seq)
+        gt_sequences.append(gt_seq)
+        log.info("sequence %s: %d frames tracked", vid, len(frame_ids))
+    return pred_sequences, gt_sequences, all_json
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cfg", default="flowtrack_posetrack")
+    ap.add_argument("--pose-weights", required=True)
+    ap.add_argument("--flow-weights", default=None)
+    ap.add_argument("--detections", default=None,
+                    help="detection json (default: GT boxes)")
+    ap.add_argument("--out", default="output/track")
+    ap.add_argument("--max-frames", type=int, default=None)
+    ap.add_argument("opts", nargs="*")
+    args = ap.parse_args()
+    setup_logging()
+
+    cfg = apply_overrides(get_config(args.cfg), args.opts)
+    if not cfg.test.bbox_file:
+        # the tracker consumes detections separately; the dataset only
+        # supplies frames + GT for eval
+        from dataclasses import replace
+
+        cfg = replace(cfg, test=replace(cfg.test, use_gt_bbox=True))
+    dataset = PoseTrackDataset(cfg, cfg.data.root, cfg.data.test_set,
+                               is_train=False)
+
+    pose_vars = jax.tree.map(jnp.asarray,
+                             load_npz_variables(args.pose_weights))
+    pose_pred = PosePredictor(cfg, pose_vars)
+    flow_pred = None
+    if args.flow_weights:
+        flow_vars = jax.tree.map(jnp.asarray,
+                                 load_npz_variables(args.flow_weights))
+        flow_pred = FlowPredictor(cfg, flow_vars)
+
+    detections = load_detections(args.detections) if args.detections else None
+    preds, gts, ann_json = track_all(cfg, dataset, pose_pred, flow_pred,
+                                     detections, args.max_frames)
+
+    os.makedirs(args.out, exist_ok=True)
+    with open(os.path.join(args.out, "tracks.json"), "w") as f:
+        json.dump({"annotations": ann_json}, f)
+    stats = evaluate_posetrack(gts, preds)
+    log.info("PoseTrack: mAP %.4f MOTA %.4f (switches %d, misses %d, "
+             "fps %d)", stats["mAP"], stats["MOTA"], stats["num_switches"],
+             stats["num_misses"], stats["num_fps"])
+    print(json.dumps({k: v for k, v in stats.items()
+                      if not hasattr(v, "shape")}))
+
+
+if __name__ == "__main__":
+    main()

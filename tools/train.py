@@ -1,0 +1,124 @@
+#!/usr/bin/env python
+"""Train PoseResNet (reference CLI twin: ``python train.py --cfg ...``).
+
+Epoch loop with Adam + milestone LR decay, on-device train_step, per-epoch
+validation (COCO AP) and orbax checkpointing with best-model tracking
+(SURVEY.md section 4.1 / section 6.4).
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from flowtrack_tpu.config import get_config, apply_overrides
+from flowtrack_tpu.data import BatchLoader, COCODataset, MPIIDataset
+from flowtrack_tpu.engine.checkpoint import CheckpointManager
+from flowtrack_tpu.engine.metrics import AverageMeter
+from flowtrack_tpu.engine.train import (
+    create_train_state,
+    make_jit_train_step,
+)
+from flowtrack_tpu.models.pose_resnet import get_pose_net
+from flowtrack_tpu.parallel import batch_sharding, make_mesh, replicated
+from flowtrack_tpu.utils.logging import setup_logging
+from tools.test import run_validation
+
+log = logging.getLogger("flowtrack.train")
+
+
+def make_dataset(cfg, is_train):
+    if cfg.data.dataset == "coco":
+        return COCODataset(cfg, cfg.data.root,
+                           cfg.data.train_set if is_train else
+                           cfg.data.test_set, is_train=is_train)
+    if cfg.data.dataset == "mpii":
+        return MPIIDataset(cfg, cfg.data.root,
+                           "train" if is_train else "valid",
+                           is_train=is_train)
+    raise KeyError(cfg.data.dataset)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cfg", default="coco_res50_256x192")
+    ap.add_argument("--resume", action="store_true")
+    ap.add_argument("--out", default=None, help="checkpoint dir override")
+    ap.add_argument("opts", nargs="*", help="dotted overrides k=v")
+    args = ap.parse_args()
+    setup_logging()
+
+    cfg = apply_overrides(get_config(args.cfg), args.opts)
+    ckpt_dir = args.out or cfg.train.checkpoint_dir
+
+    mesh = make_mesh(cfg.mesh.num_devices)
+    data_sh = batch_sharding(mesh)
+    repl = replicated(mesh)
+    log.info("mesh: %s", mesh)
+
+    train_ds = make_dataset(cfg, is_train=True)
+    loader = BatchLoader(train_ds, cfg.train.batch_size * mesh.size,
+                         shuffle=cfg.train.shuffle, drop_last=True,
+                         seed=cfg.train.seed)
+    steps_per_epoch = max(len(loader), 1)
+
+    model = get_pose_net(cfg.model)
+    sample = jnp.zeros((1, *cfg.model.image_size, 3), jnp.float32)
+    state = create_train_state(model, cfg, jax.random.PRNGKey(cfg.train.seed),
+                               sample, steps_per_epoch)
+    state = jax.device_put(state, repl)
+
+    mgr = CheckpointManager(ckpt_dir)
+    start_epoch = 0
+    best = 0.0
+    if args.resume:
+        state, epoch = mgr.restore(state)
+        start_epoch = epoch + 1
+        log.info("resumed from epoch %d", epoch)
+
+    step_fn = make_jit_train_step(cfg.train.use_target_weight)
+
+    for epoch in range(start_epoch, cfg.train.end_epoch):
+        losses, accs, btime = AverageMeter(), AverageMeter(), AverageMeter()
+        t0 = time.time()
+        for i, batch in enumerate(loader):
+            dev_batch = {
+                "input": jax.device_put(batch["input"], data_sh),
+                "target": jax.device_put(batch["target"], data_sh),
+                "target_weight": jax.device_put(batch["target_weight"],
+                                                data_sh),
+            }
+            state, metrics = step_fn(state, dev_batch)
+            losses.update(float(metrics["loss"]), len(batch["input"]))
+            accs.update(float(metrics["acc"]))
+            btime.update(time.time() - t0)
+            t0 = time.time()
+            if i % cfg.train.print_freq == 0:
+                log.info("epoch %d [%d/%d] loss %.5f (%.5f) acc %.3f "
+                         "(%.3f) %.3fs/b", epoch, i, steps_per_epoch,
+                         losses.val, losses.avg, accs.val, accs.avg,
+                         btime.avg)
+
+        perf = 0.0
+        try:
+            stats = run_validation(cfg, model,
+                                   {"params": state.params,
+                                    "batch_stats": state.batch_stats},
+                                   mesh=mesh)
+            perf = stats.get("AP", stats.get("Mean", 0.0))
+        except Exception as e:  # validation data may be absent
+            log.warning("validation skipped: %s", e)
+        best = max(best, perf)
+        mgr.save(epoch, state, perf=perf)
+        log.info("epoch %d done: loss %.5f perf %.4f (best %.4f)",
+                 epoch, losses.avg, perf, best)
+    mgr.wait()
+
+
+if __name__ == "__main__":
+    main()
