@@ -37,9 +37,7 @@ def build_tpu_step():
     from flowtrack_tpu.config import get_config
     from flowtrack_tpu.models.flownet import FlowNetS, preprocess_pair
     from flowtrack_tpu.models.pose_resnet import get_pose_net
-    from flowtrack_tpu.ops.affine import (crop_persons,
-                                          get_affine_transform_jax,
-                                          normalize_image)
+    from flowtrack_tpu.ops.crop import crop_resize_normalize
     from flowtrack_tpu.ops.decode import get_final_preds, rescore
     from flowtrack_tpu.ops.heatmap import merge_flip_test
     from flowtrack_tpu.ops.oks import oks_matrix, pose_area
@@ -65,10 +63,9 @@ def build_tpu_step():
         x = preprocess_pair(prev_frame[None], frame[None])
         flow_q = flow_net.apply(flow_vars, x, train=False)
         flow = jax.image.resize(flow_q * 20.0, (1, H, W, 2), "bilinear")[0]
-        # crops + pose (+fused flip test)
-        inv = get_affine_transform_jax(centers, scales, 0.0, (W, H), inv=True)
-        crops = crop_persons(frame.astype(jnp.float32), inv, (H, W))
-        crops = normalize_image(crops, mean, std)
+        # fused matmul crop+normalize + pose (+fused flip test)
+        crops = crop_resize_normalize(frame, centers, scales, (H, W),
+                                      mean, std)
         both = jnp.concatenate([crops, crops[:, :, ::-1, :]], axis=0)
         hm = pose.apply(pose_vars, both, train=False)
         hm = merge_flip_test(hm[:PERSONS], hm[PERSONS:], COCO_FLIP_PAIRS)

@@ -142,7 +142,10 @@ class COCODataset(PoseDataset):
             if self.cfg.test.soft_nms:
                 keep, _ = soft_oks_nms_np(kpt_list, self.cfg.test.oks_thre)
             else:
-                keep = oks_nms_np(kpt_list, self.cfg.test.oks_thre)
+                # C++ native path with automatic numpy fallback
+                from flowtrack_tpu import native
+
+                keep = native.cpu_oks_nms(kpt_list, self.cfg.test.oks_thre)
             if len(keep) == 0:
                 keep = range(len(kpt_list))
             for i in keep:

@@ -22,6 +22,15 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 
+def _precision_for(dtype):
+    """fp32 path: HIGHEST (bit-stable golden parity vs torch). bf16 path:
+    default single-pass MXU — HIGHEST on bf16 inputs forces a multi-pass
+    fp32 emulation that throttles the systolic array for no parity benefit
+    (the reference runs fp16/fp32 cuDNN autotuned kernels)."""
+    return (jax.lax.Precision.HIGHEST
+            if jnp.dtype(dtype) == jnp.float32 else None)
+
+
 class ConvTransposeTorch(nn.Module):
     """torch.nn.ConvTranspose2d twin (NHWC). kernel: (kH, kW, Cin, Cout),
     spatially flipped vs torch."""
@@ -47,7 +56,7 @@ class ConvTransposeTorch(nn.Module):
             padding=[(k - 1 - p, k - 1 - p)] * 2,
             lhs_dilation=(s, s),
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            precision=jax.lax.Precision.HIGHEST,
+            precision=_precision_for(self.dtype),
         )
         if self.use_bias:
             bias = self.param("bias", nn.initializers.zeros,
@@ -67,7 +76,7 @@ def conv(features, kernel_size, strides=1, padding=0, use_bias=False,
         use_bias=use_bias,
         dtype=dtype,
         param_dtype=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
+        precision=_precision_for(dtype),
         kernel_init=kernel_init or nn.initializers.he_normal(),
         name=name,
     )

@@ -24,11 +24,7 @@ from flowtrack_tpu.config import (
 )
 from flowtrack_tpu.models.flownet import get_flow_net, preprocess_pair
 from flowtrack_tpu.models.pose_resnet import get_pose_net
-from flowtrack_tpu.ops.affine import (
-    crop_persons,
-    get_affine_transform_jax,
-    normalize_image,
-)
+from flowtrack_tpu.ops.crop import crop_resize_normalize
 from flowtrack_tpu.ops.decode import get_final_preds, rescore
 from flowtrack_tpu.ops.heatmap import merge_flip_test
 
@@ -70,10 +66,10 @@ class PosePredictor:
         flip_pairs = COCO_FLIP_PAIRS
 
         def device_fn(variables, image, centers, scales, scores):
-            inv = get_affine_transform_jax(centers, scales, 0.0,
-                                           (img_w, img_h), inv=True)
-            crops = crop_persons(image.astype(jnp.float32), inv, self.out_hw)
-            crops = normalize_image(crops, mean, std)
+            # fused matmul crop+normalize (ops/crop.py): MXU work instead of
+            # a gather-bound warp
+            crops = crop_resize_normalize(image, centers, scales,
+                                          self.out_hw, mean, std)
             if flip_test:
                 both = jnp.concatenate([crops, crops[:, :, ::-1, :]], axis=0)
                 hm = self.model.apply(variables, both, train=False)

@@ -1,0 +1,79 @@
+"""Tracing/profiling (SURVEY.md section 6.1).
+
+The reference only has AverageMeter batch timers; the TPU build adds:
+  * ``trace(logdir)`` — jax.profiler trace context (XLA + Pallas TraceMe
+    events, viewable in TensorBoard/Perfetto);
+  * ``annotate(name)`` — TraceAnnotation for custom spans;
+  * ``StageTimer`` — host-side per-stage wall timers with jsonl dump
+    (detect / flow / pose / match breakdown in the tracker loop);
+  * ``deterministic_guard`` — SURVEY.md section 6.2: XLA on TPU is
+    deterministic by construction; this asserts the config knobs that could
+    break bitwise run-to-run repeatability stay off.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import json
+import time
+from collections import defaultdict
+from typing import Dict, Optional
+
+import jax
+
+
+@contextlib.contextmanager
+def trace(logdir: str):
+    jax.profiler.start_trace(logdir)
+    try:
+        yield
+    finally:
+        jax.profiler.stop_trace()
+
+
+def annotate(name: str):
+    return jax.profiler.TraceAnnotation(name)
+
+
+class StageTimer:
+    """Accumulate wall-time per named stage; device-sync aware."""
+
+    def __init__(self, sync: bool = False):
+        self.sync = sync
+        self.totals: Dict[str, float] = defaultdict(float)
+        self.counts: Dict[str, int] = defaultdict(int)
+
+    @contextlib.contextmanager
+    def stage(self, name: str):
+        t0 = time.perf_counter()
+        yield
+        if self.sync:
+            # drain the device queue so the stage is charged its real cost
+            jax.effects_barrier()
+        self.totals[name] += time.perf_counter() - t0
+        self.counts[name] += 1
+
+    def summary(self) -> Dict[str, Dict[str, float]]:
+        return {k: {"total_s": self.totals[k], "count": self.counts[k],
+                    "mean_ms": 1000.0 * self.totals[k] /
+                               max(self.counts[k], 1)}
+                for k in self.totals}
+
+    def dump(self, path: Optional[str] = None) -> str:
+        s = json.dumps(self.summary(), indent=2, sort_keys=True)
+        if path:
+            with open(path, "w") as f:
+                f.write(s)
+        return s
+
+
+def deterministic_guard():
+    """Assert the determinism-relevant config (SURVEY.md section 6.2).
+
+    TPU/XLA execution is deterministic given identical inputs and program;
+    the knobs that could break it are host-side RNG reuse and async
+    transfers racing donated buffers — neither exists in this framework's
+    jit'd paths. This guard pins the expectation in code."""
+    assert jax.config.jax_default_prng_impl in ("threefry2x32", "rbg"), (
+        "non-counter-based PRNG would break replay determinism")
+    return True

@@ -1,0 +1,52 @@
+"""Config system (yaml presets, dotted overrides) + profiling utils."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from flowtrack_tpu.config import PRESETS, apply_overrides, get_config
+
+
+def test_presets_cover_driver_configs():
+    for name in ("coco_res50_256x192", "coco_res50_384x288",
+                 "coco_res152_256x192", "coco_res152_384x288",
+                 "flownet_s", "flowtrack_posetrack"):
+        cfg = get_config(name)
+        assert cfg.name == name
+
+
+def test_yaml_roundtrip():
+    cfg = get_config("experiments/coco_res50_256x192.yaml")
+    assert cfg.model.num_layers == 50
+    assert cfg.model.image_size == (256, 192)
+    assert cfg.model.heatmap_size == (64, 48)
+    assert cfg.train.lr_steps == (90, 120)
+    cfg2 = get_config("experiments/flowtrack_posetrack.yaml")
+    assert cfg2.model.num_layers == 152
+    assert cfg2.flow.variant == "flownet_s"
+    assert cfg2.track.box_nms_thre == 0.5
+
+
+def test_dotted_overrides():
+    cfg = get_config("coco_res50_256x192")
+    cfg = apply_overrides(cfg, ["test.flip_test=false",
+                                "model.num_layers=152",
+                                "train.lr=0.01",
+                                "model.image_size=384,288"])
+    assert cfg.test.flip_test is False
+    assert cfg.model.num_layers == 152
+    assert np.isclose(cfg.train.lr, 0.01)
+    assert cfg.model.image_size == (384, 288)
+
+
+def test_stage_timer_and_guard():
+    from flowtrack_tpu.utils.profiling import StageTimer, deterministic_guard
+
+    t = StageTimer()
+    with t.stage("a"):
+        _ = jnp.ones((8, 8)).sum()
+    with t.stage("a"):
+        pass
+    s = t.summary()
+    assert s["a"]["count"] == 2 and s["a"]["total_s"] > 0
+    assert "a" in t.dump()
+    assert deterministic_guard()
