@@ -80,6 +80,52 @@ def build_tpu_step():
     return jax.jit(frame_step), pose_vars, flow_vars
 
 
+def run_component_bench():
+    """BENCH_COMPONENTS=1: time pose-only and flow-only to locate the
+    bottleneck. Prints one json line per component (not the driver line)."""
+    import jax
+    import jax.numpy as jnp
+
+    from flowtrack_tpu.config import get_config
+    from flowtrack_tpu.models.flownet import FlowNetS, preprocess_pair
+    from flowtrack_tpu.models.pose_resnet import get_pose_net
+
+    rng = np.random.default_rng(0)
+    cfg = get_config("coco_res50_256x192")
+    pose = get_pose_net(cfg.model)
+    rngk = jax.random.PRNGKey(0)
+    crops = jnp.asarray(rng.normal(0, 1, (2 * PERSONS, H, W, 3)),
+                        jnp.float32)
+    pose_vars = jax.jit(pose.init, static_argnames="train")(
+        rngk, crops[:1], train=False)
+    pose_fwd = jax.jit(lambda v, x: pose.apply(v, x, train=False))
+    out = pose_fwd(pose_vars, crops)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(FRAMES):
+        out = pose_fwd(pose_vars, crops)
+    jax.block_until_ready(out)
+    pose_dt = (time.perf_counter() - t0) / FRAMES
+    print(json.dumps({"component": "pose_resnet50_x%d" % (2 * PERSONS),
+                      "ms_per_frame": round(1000 * pose_dt, 3)}))
+
+    flow_net = FlowNetS(dtype=jnp.bfloat16)
+    x = preprocess_pair(rng.uniform(0, 255, (1, H, W, 3)),
+                        rng.uniform(0, 255, (1, H, W, 3)))
+    flow_vars = jax.jit(flow_net.init, static_argnames="train")(
+        rngk, x, train=False)
+    flow_fwd = jax.jit(lambda v, x: flow_net.apply(v, x, train=False))
+    out = flow_fwd(flow_vars, x)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(FRAMES):
+        out = flow_fwd(flow_vars, x)
+    jax.block_until_ready(out)
+    flow_dt = (time.perf_counter() - t0) / FRAMES
+    print(json.dumps({"component": "flownet_s_pair",
+                      "ms_per_frame": round(1000 * flow_dt, 3)}))
+
+
 def run_tpu_bench():
     import jax
     import jax.numpy as jnp
@@ -143,11 +189,55 @@ def run_oracle_bench():
     return ORACLE_FRAMES / (time.perf_counter() - t0)
 
 
+def run_clip_bench():
+    """Headline path: whole-clip batched tracking (tracking/clip_pipeline).
+
+    Flow on all frame pairs in one call, pose on all F*P persons in one
+    call, id chain as a device-side scan — one jit call per clip."""
+    import jax
+    import jax.numpy as jnp
+
+    from flowtrack_tpu.config import get_config
+    from flowtrack_tpu.models.flownet import FlowNetS
+    from flowtrack_tpu.models.pose_resnet import get_pose_net
+    from flowtrack_tpu.tracking.clip_pipeline import ClipTracker, \
+        pad_detections
+
+    cfg = get_config("coco_res50_256x192")
+    pose = get_pose_net(cfg.model)
+    flow_net = FlowNetS(dtype=jnp.bfloat16)
+    rngk = jax.random.PRNGKey(0)
+    pose_vars = jax.jit(pose.init, static_argnames="train")(
+        rngk, jnp.zeros((1, H, W, 3)), train=False)
+    flow_vars = jax.jit(flow_net.init, static_argnames="train")(
+        rngk, jnp.zeros((1, H, W, 6)), train=False)
+
+    tracker = ClipTracker(cfg, pose, pose_vars, flow_net, flow_vars,
+                          max_persons=PERSONS)
+    rng = np.random.default_rng(0)
+    frames = rng.uniform(0, 255, (FRAMES, H, W, 3)).astype(np.float32)
+    boxes = [[[20 + 15 * p, 30 + 10 * p, 60, 90] for p in range(PERSONS)]
+             for _ in range(FRAMES)]
+    scores = [[0.9] * PERSONS for _ in range(FRAMES)]
+    db, dsc, dv = pad_detections(boxes, scores, PERSONS)
+
+    out = tracker.track_clip(frames, db, dsc, dv)  # compile
+    t0 = time.perf_counter()
+    out = tracker.track_clip(frames, db, dsc, dv)
+    dt = time.perf_counter() - t0
+    assert out["ids"].shape == (FRAMES, PERSONS)
+    return FRAMES / dt
+
+
 def main():
     import jax
 
     platform = jax.devices()[0].platform
-    fps = run_tpu_bench()
+    if os.environ.get("BENCH_COMPONENTS") == "1":
+        run_component_bench()
+        return
+    mode = os.environ.get("BENCH_MODE", "clip")
+    fps = run_clip_bench() if mode == "clip" else run_tpu_bench()
     oracle_fps = None
     cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                          ".bench_oracle_fps.json")

@@ -1,0 +1,126 @@
+"""Whole-clip tracker: ID-chain correctness with stub models.
+
+Stub pose net: a fixed star of 17 gaussian peaks around the crop center ->
+decoded joints = box center + fixed offsets (exercises the real crop geometry,
+decode and rescoring). Stub flow net: the true constant motion. Person boxes
+translate with that motion; the scan must keep IDs stable and mint new IDs
+for appearing persons.
+"""
+
+from dataclasses import replace
+
+import numpy as np
+import jax.numpy as jnp
+
+from flowtrack_tpu.config import Config, ModelConfig
+from flowtrack_tpu.ops.heatmap import generate_target_np
+from flowtrack_tpu.tracking.clip_pipeline import ClipTracker, pad_detections
+
+K = 17
+VEL = np.array([6.0, 3.0], np.float32)
+IMG_HW = (64, 64)
+HM_HW = (16, 16)
+# fixed joint offsets in crop-fraction units (a spread "star" so OKS has a
+# meaningful area normalizer)
+OFFS = np.stack([np.cos(np.linspace(0, 2 * np.pi, K, endpoint=False)),
+                 np.sin(np.linspace(0, 2 * np.pi, K, endpoint=False))],
+                axis=1) * 0.25 + 0.5  # in [0, 1] crop coords
+
+
+class StubPose:
+    """apply(vars, crops) -> heatmaps with peaks at OFFS (crop coords)."""
+
+    def apply(self, variables, x, train=False):
+        n = x.shape[0]
+        joints = OFFS * np.array([IMG_HW[1], IMG_HW[0]])  # crop pixels
+        hm, _ = generate_target_np(joints, np.ones(K), HM_HW, IMG_HW, 1.5)
+        return jnp.broadcast_to(jnp.asarray(hm), (n, *hm.shape))
+
+
+class StubFlow:
+    """apply(vars, pairs) -> constant quarter-res flow = VEL / div_flow."""
+
+    def __init__(self, div_flow=20.0):
+        self.div = div_flow
+
+    def apply(self, variables, x, train=False):
+        f, h, w, _ = x.shape
+        base = jnp.asarray(VEL / self.div, jnp.float32)
+        return jnp.broadcast_to(base, (f, h // 4, w // 4, 2))
+
+
+def make_cfg():
+    cfg = Config(model=ModelConfig(image_size=IMG_HW, heatmap_size=HM_HW,
+                                   dtype="float32"))
+    return replace(cfg, test=replace(cfg.test, flip_test=False),
+                   track=replace(cfg.track, max_persons=4,
+                                 pose_score_thre=0.1,
+                                 track_oks_thre=0.3))
+
+
+def test_clip_ids_stable_and_new_id_minted():
+    cfg = make_cfg()
+    tracker = ClipTracker(cfg, StubPose(), {}, StubFlow(), {})
+
+    f = 5
+    frames = np.zeros((f, 128, 160, 3), np.float32)
+    # person A moves with VEL from (40, 50); person B appears at frame 2
+    boxes, scores = [], []
+    for t in range(f):
+        ax, ay = 40 + VEL[0] * t, 50 + VEL[1] * t
+        bs = [[ax - 15, ay - 15, 30, 30]]
+        sc = [0.9]
+        if t >= 2:
+            bx, by = 110 + VEL[0] * (t - 2), 60 + VEL[1] * (t - 2)
+            bs.append([bx - 15, by - 15, 30, 30])
+            sc.append(0.8)
+        boxes.append(bs)
+        scores.append(sc)
+    db, dsc, dv = pad_detections(boxes, scores, cfg.track.max_persons)
+    out = tracker.track_clip(frames, db, dsc, dv)
+
+    ids = out["ids"]
+    assert (ids[:, 0] == ids[0, 0]).all(), ids[:, 0]   # A keeps its id
+    assert ids[2, 1] >= 0 and ids[2, 1] != ids[2, 0]   # B gets a new id
+    assert (ids[2:, 1] == ids[2, 1]).all(), ids[:, 1]  # B keeps it
+    assert (ids[:2, 1] == -1).all()                    # B absent early
+    # decoded joints follow the boxes (crop geometry + decode round trip)
+    a_centers = out["joints"][:, 0].mean(axis=1)
+    np.testing.assert_allclose(
+        a_centers[:, 0], 40 + VEL[0] * np.arange(f), atol=3.0)
+    np.testing.assert_allclose(
+        a_centers[:, 1], 50 + VEL[1] * np.arange(f), atol=3.0)
+
+
+def test_clip_id_swap_resistance():
+    """Two nearby persons moving together: both propagations land exactly on
+    their own candidates; greedy global-max must not cross-assign even
+    though the neighbors are close enough to have nonzero OKS."""
+    cfg = make_cfg()
+    tracker = ClipTracker(cfg, StubPose(), {}, StubFlow(), {})
+    f = 4
+    frames = np.zeros((f, 128, 160, 3), np.float32)
+    boxes, scores = [], []
+    for t in range(f):
+        ax, ay = 40 + VEL[0] * t, 50 + VEL[1] * t
+        bx, by = ax + 18, ay + 6  # B rides 18px to the right of A
+        boxes.append([[ax - 15, ay - 15, 30, 30],
+                      [bx - 15, by - 15, 30, 30]])
+        scores.append([0.9, 0.85])
+    db, dsc, dv = pad_detections(boxes, scores, cfg.track.max_persons)
+    out = tracker.track_clip(frames, db, dsc, dv)
+    ids = out["ids"]
+    assert (ids[:, 0] == ids[0, 0]).all(), ids
+    assert (ids[:, 1] == ids[0, 1]).all(), ids
+    assert ids[0, 0] != ids[0, 1]
+
+
+def test_pad_detections():
+    boxes = [[[0, 0, 10, 10]], [[0, 0, 10, 10], [5, 5, 10, 10],
+                                [1, 1, 2, 2]]]
+    scores = [[0.9], [0.5, 0.8, 0.7]]
+    b, s, v = pad_detections(boxes, scores, 2)
+    assert b.shape == (2, 2, 4)
+    assert v[0].tolist() == [True, False]
+    # frame 1 keeps the 2 highest-scoring of 3
+    np.testing.assert_allclose(sorted(s[1].tolist()), [0.7, 0.8], rtol=1e-6)

@@ -1,0 +1,82 @@
+"""Slow integration: real PoseResNet (18-layer) + engine + checkpointing.
+
+Overfits one synthetic batch (loss must halve), round-trips the checkpoint,
+and resumes training — the tools/train.py machinery without the epoch loop.
+"""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from flowtrack_tpu.config import Config, ModelConfig, TrainConfig
+from flowtrack_tpu.engine.checkpoint import CheckpointManager
+from flowtrack_tpu.engine.train import create_train_state, make_jit_train_step
+from flowtrack_tpu.models.pose_resnet import get_pose_net
+from flowtrack_tpu.ops.heatmap import generate_target_np
+
+pytestmark = pytest.mark.slow
+
+CFG = Config(
+    model=ModelConfig(num_layers=18, image_size=(64, 64),
+                      heatmap_size=(16, 16), dtype="float32"),
+    train=TrainConfig(lr=1e-3, batch_size=4),
+)
+
+
+def make_batch(rng, n=4):
+    x = rng.normal(0, 1, (n, 64, 64, 3)).astype(np.float32)
+    targets, weights = [], []
+    for i in range(n):
+        joints = rng.uniform(8, 56, (17, 2))
+        t, w = generate_target_np(joints, np.ones(17), (16, 16), (64, 64),
+                                  sigma=1.5)
+        targets.append(t)
+        weights.append(w)
+    return {"input": x, "target": np.stack(targets).astype(np.float32),
+            "target_weight": np.stack(weights).astype(np.float32)}
+
+
+def test_overfit_checkpoint_resume(tmp_path, rng):
+    model = get_pose_net(CFG.model)
+    batch = make_batch(rng)
+    state = create_train_state(model, CFG, jax.random.PRNGKey(0),
+                               jnp.asarray(batch["input"][:1]))
+    step = make_jit_train_step(donate=False)
+
+    losses = []
+    for _ in range(40):
+        state, m = step(state, batch)
+        losses.append(float(m["loss"]))
+    # heatmap MSE starts tiny (targets are mostly zeros); require a steady
+    # 40% reduction rather than an absolute scale
+    assert losses[-1] < 0.6 * losses[0], losses[::8]
+
+    mgr = CheckpointManager(str(tmp_path / "ckpt"))
+    mgr.save(0, state, perf=0.1, wait=True)
+
+    fresh = create_train_state(model, CFG, jax.random.PRNGKey(1),
+                               jnp.asarray(batch["input"][:1]))
+    restored, epoch = mgr.restore(fresh)
+    assert epoch == 0 and int(restored.step) == 25
+    # resumed training continues to descend from the restored point
+    restored, m0 = step(restored, batch)
+    assert float(m0["loss"]) <= losses[-1] * 1.5
+    for _ in range(4):
+        restored, m = step(restored, batch)
+    assert float(m["loss"]) < float(m0["loss"]) * 1.2
+    mgr.close()
+
+
+def test_accuracy_metric_improves(rng):
+    model = get_pose_net(CFG.model)
+    batch = make_batch(rng)
+    state = create_train_state(model, CFG, jax.random.PRNGKey(0),
+                               jnp.asarray(batch["input"][:1]))
+    step = make_jit_train_step(donate=False)
+    accs = []
+    for _ in range(40):
+        state, m = step(state, batch)
+        accs.append(float(m["acc"]))
+    # overfitting one batch must push PCK accuracy well up from random
+    assert max(accs[-5:]) > 0.5, accs[::10]
