@@ -1,0 +1,75 @@
+#!/usr/bin/env python
+"""Measured reference baseline (SURVEY.md section 7).
+
+No published frames/sec exists for the reference, so the denominator is
+MEASURED: this times a from-scratch torch-CPU implementation of the same
+per-frame work the TPU pipeline does (tests/oracles — written to the paper
+equations, not ported). Protocol: 256x192 crops, PERSONS person boxes with
+flip-test (2x batch), FlowNetS on the frame pair, host-side argmax decode
+(the reference decodes on CPU, SURVEY.md section 4.2).
+
+Run: python benchmarks/reference_oracle.py [--frames N] [--persons P]
+Prints one json line. The torch-CPU oracle is far slower than the
+reference's GPUs — record this as a lower bound and label it as such.
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--frames", type=int, default=3)
+    ap.add_argument("--persons", type=int, default=8)
+    ap.add_argument("--height", type=int, default=256)
+    ap.add_argument("--width", type=int, default=192)
+    args = ap.parse_args()
+
+    import torch
+
+    from tests.oracles.flownet_torch import FlowNetSTorch
+    from tests.oracles.pose_resnet_torch import PoseResNetTorch
+
+    torch.manual_seed(0)
+    torch.set_num_threads(os.cpu_count() or 8)
+    pose = PoseResNetTorch(50).eval()
+    flow = FlowNetSTorch().eval()
+    rng = np.random.default_rng(0)
+    h, w = args.height, args.width
+    pair = torch.from_numpy(rng.uniform(-1, 1, (1, 6, h, w)).astype(np.float32))
+    crops = torch.from_numpy(
+        rng.uniform(-1, 1, (args.persons * 2, 3, h, w)).astype(np.float32))
+
+    def frame():
+        with torch.no_grad():
+            f = flow(pair)
+            hm = pose(crops)
+        hm_np = hm.numpy()
+        n, k, hh, ww = hm_np.shape
+        flat = hm_np.reshape(n, k, -1)
+        idx = flat.argmax(-1)
+        return f, idx % ww, idx // ww
+
+    frame()  # warm-up
+    t0 = time.perf_counter()
+    for _ in range(args.frames):
+        frame()
+    dt = (time.perf_counter() - t0) / args.frames
+    print(json.dumps({
+        "metric": "reference_oracle_torch_cpu_fps",
+        "value": round(1.0 / dt, 4),
+        "unit": f"frames/s ({h}x{w}, {args.persons} persons, flip-test)",
+        "note": "torch-CPU lower bound; reference GPU fps was never "
+                "published (SURVEY.md section 7)",
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -140,12 +140,11 @@ class ClipTracker:
         self.pose_vars = pose_vars
         self.flow_vars = flow_vars
 
-    def track_clip(self, frames: np.ndarray, det_boxes: np.ndarray,
-                   det_scores: np.ndarray, det_valid: np.ndarray):
-        """frames: (F, H, W, 3); det_boxes: (F, P, 4) xywh (padded);
-        det_scores/det_valid: (F, P). Returns dict of numpy arrays:
-        joints (F, P, K, 2), maxvals (F, P, K), scores (F, P), ids (F, P)
-        (-1 = invalid), valid (F, P)."""
+    def prepare(self, frames: np.ndarray, det_boxes: np.ndarray,
+                det_scores: np.ndarray, det_valid: np.ndarray):
+        """Host prep + H2D: returns the device-resident arg tuple for
+        run_prepared. Split out so callers can overlap the transfer of clip
+        t+1 with the compute of clip t (data/loader.device_prefetch style)."""
         f, p = det_scores.shape
         centers = np.zeros((f, p, 2), np.float32)
         scales = np.full((f, p, 2), 1e-3, np.float32)
@@ -153,11 +152,23 @@ class ClipTracker:
             c, s = batched_box_to_center_scale(
                 np.maximum(det_boxes[t], 1e-3), self.aspect_ratio)
             centers[t], scales[t] = c, s
-        preds, maxvals, scores, ids, valid = self._clip_fn(
-            self.pose_vars, self.flow_vars, jnp.asarray(frames),
-            jnp.asarray(centers), jnp.asarray(scales),
-            jnp.asarray(det_scores, jnp.float32),
-            jnp.asarray(det_valid, bool))
+        return (jnp.asarray(frames), jnp.asarray(centers),
+                jnp.asarray(scales),
+                jnp.asarray(det_scores, jnp.float32),
+                jnp.asarray(det_valid, bool))
+
+    def run_prepared(self, device_args):
+        """Device-side tracking of a prepared clip; returns device arrays."""
+        return self._clip_fn(self.pose_vars, self.flow_vars, *device_args)
+
+    def track_clip(self, frames: np.ndarray, det_boxes: np.ndarray,
+                   det_scores: np.ndarray, det_valid: np.ndarray):
+        """frames: (F, H, W, 3); det_boxes: (F, P, 4) xywh (padded);
+        det_scores/det_valid: (F, P). Returns dict of numpy arrays:
+        joints (F, P, K, 2), maxvals (F, P, K), scores (F, P), ids (F, P)
+        (-1 = invalid), valid (F, P)."""
+        preds, maxvals, scores, ids, valid = self.run_prepared(
+            self.prepare(frames, det_boxes, det_scores, det_valid))
         ids = np.asarray(ids)
         valid = np.asarray(valid)
         ids = np.where(valid, ids, -1)
