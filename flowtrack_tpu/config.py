@@ -60,6 +60,8 @@ class ModelConfig:
     deconv_with_bias: bool = False
     sigma: float = 2.0                        # GT gaussian sigma (3.0 at 384x288)
     dtype: str = "bfloat16"                   # compute dtype on TPU (params fp32)
+    remat: bool = False                       # jax.checkpoint each resnet stage
+                                              # (trade FLOPs for HBM in training)
 
 
 @dataclass(frozen=True)

@@ -87,6 +87,9 @@ class ResNetBackbone(nn.Module):
     block: str                      # "basic" | "bottleneck"
     stage_sizes: Sequence[int]
     dtype: Any = jnp.float32
+    remat: bool = False             # rematerialize each residual block:
+                                    # trade recompute FLOPs for HBM during
+                                    # training (jax.checkpoint)
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -96,6 +99,8 @@ class ResNetBackbone(nn.Module):
         x = max_pool_same_as_torch(x, 3, 2, 1)
 
         block_cls = Bottleneck if self.block == "bottleneck" else BasicBlock
+        if self.remat:
+            block_cls = nn.remat(block_cls, static_argnums=(2,))
         expansion = 4 if self.block == "bottleneck" else 1
         in_features = 64
         for stage, num_blocks in enumerate(self.stage_sizes):
@@ -123,7 +128,7 @@ class PoseResNet(nn.Module):
         block, stages = RESNET_SPECS[self.cfg.num_layers]
         x = x.astype(dtype)
         x = ResNetBackbone(block=block, stage_sizes=stages, dtype=dtype,
-                           name="backbone")(x, train)
+                           remat=self.cfg.remat, name="backbone")(x, train)
         for i in range(self.cfg.num_deconv_layers):
             k = self.cfg.num_deconv_kernels[i]
             x = ConvTransposeTorch(

@@ -137,6 +137,11 @@ class ClipTracker:
             return preds, maxvals, scores, all_ids, valid
 
         self._clip_fn = jax.jit(clip_fn)
+        # clips are the data-parallel axis: vmap over a leading clip dim;
+        # shard it across the mesh and XLA runs one clip per device group
+        # (the multi-chip serving layout — SURVEY.md section 6.8)
+        self._clips_fn = jax.jit(
+            jax.vmap(clip_fn, in_axes=(None, None, 0, 0, 0, 0, 0)))
         self.pose_vars = pose_vars
         self.flow_vars = flow_vars
 
@@ -160,6 +165,28 @@ class ClipTracker:
     def run_prepared(self, device_args):
         """Device-side tracking of a prepared clip; returns device arrays."""
         return self._clip_fn(self.pose_vars, self.flow_vars, *device_args)
+
+    def track_clips(self, frames: np.ndarray, det_boxes: np.ndarray,
+                    det_scores: np.ndarray, det_valid: np.ndarray,
+                    sharding=None):
+        """Batched clips: frames (C, F, H, W, 3), det_* (C, F, P, ...).
+
+        With ``sharding`` (e.g. parallel.batch_sharding(mesh)) the clip dim
+        is split across devices — pure data parallelism, no collectives in
+        the hot path. Returns the track_clip dict with a leading C dim."""
+        c = frames.shape[0]
+        prepped = [self.prepare(frames[i], det_boxes[i], det_scores[i],
+                                det_valid[i]) for i in range(c)]
+        args = [jnp.stack([p[j] for p in prepped]) for j in range(5)]
+        if sharding is not None:
+            args = [jax.device_put(a, sharding) for a in args]
+        preds, maxvals, scores, ids, valid = self._clips_fn(
+            self.pose_vars, self.flow_vars, *args)
+        ids = np.asarray(ids)
+        valid = np.asarray(valid)
+        ids = np.where(valid, ids, -1)
+        return {"joints": np.asarray(preds), "maxvals": np.asarray(maxvals),
+                "scores": np.asarray(scores), "ids": ids, "valid": valid}
 
     def track_clip(self, frames: np.ndarray, det_boxes: np.ndarray,
                    det_scores: np.ndarray, det_valid: np.ndarray):

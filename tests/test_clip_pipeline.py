@@ -115,6 +115,38 @@ def test_clip_id_swap_resistance():
     assert ids[0, 0] != ids[0, 1]
 
 
+def test_sharded_clips_match_sequential():
+    """8 clips sharded over the 8-device mesh == per-clip loop."""
+    from flowtrack_tpu.parallel import batch_sharding, make_mesh
+
+    cfg = make_cfg()
+    tracker = ClipTracker(cfg, StubPose(), {}, StubFlow(), {})
+    mesh = make_mesh()
+    assert mesh.size == 8
+
+    c, f = 8, 3
+    frames = np.zeros((c, f, 64, 96, 3), np.float32)
+    boxes = np.zeros((c, f, cfg.track.max_persons, 4), np.float32)
+    scores = np.zeros((c, f, cfg.track.max_persons), np.float32)
+    valid = np.zeros((c, f, cfg.track.max_persons), bool)
+    for i in range(c):
+        for t in range(f):
+            ax = 20 + 2 * i + VEL[0] * t
+            ay = 25 + VEL[1] * t
+            boxes[i, t, 0] = [ax - 10, ay - 10, 20, 20]
+            scores[i, t, 0] = 0.9
+            valid[i, t, 0] = True
+
+    out = tracker.track_clips(frames, boxes, scores, valid,
+                              sharding=batch_sharding(mesh))
+    assert out["ids"].shape == (c, f, cfg.track.max_persons)
+    for i in range(c):
+        want = tracker.track_clip(frames[i], boxes[i], scores[i], valid[i])
+        np.testing.assert_array_equal(out["ids"][i], want["ids"])
+        np.testing.assert_allclose(out["joints"][i], want["joints"],
+                                   atol=1e-4)
+
+
 def test_pad_detections():
     boxes = [[[0, 0, 10, 10]], [[0, 0, 10, 10], [5, 5, 10, 10],
                                 [1, 1, 2, 2]]]
