@@ -76,8 +76,13 @@ def _corr_kernel(f1_ref, f2_hbm, out_ref, f2_vmem, sem, *,
 
     f1_ref:  (1, block_h, W, C) VMEM (auto-pipelined)
     f2_hbm:  (N, H + 2*md + pad, W + 2*md, C) in HBM/ANY
-    out_ref: (1, D*D, block_h, W) VMEM
+    out_ref: (1, D, D, block_h, W) VMEM
     f2_vmem: (block_h + 2*md, W + 2*md, C) scratch
+
+    Mosaic constraint (verified on hardware): dynamic slice starts are only
+    allowed on UNTILED leading dims — so the dynamic dy walks dim 0 of the
+    scratch inside a fori_loop, while the d x-shifts are STATIC unrolled
+    slices on the tiled W dim.
     """
     ni = pl.program_id(0)
     hi = pl.program_id(1)
@@ -93,14 +98,15 @@ def _corr_kernel(f1_ref, f2_hbm, out_ref, f2_vmem, sem, *,
     w = f1.shape[1]
     copy.wait()
 
-    def body(i, _):
-        dy = (i // d) * stride2
-        dx = (i % d) * stride2
-        f2s = f2_vmem[pl.ds(dy, block_h), pl.ds(dx, w), :].astype(jnp.float32)
-        out_ref[0, i] = jnp.sum(f1 * f2s, axis=-1) * inv_c
+    def body(iy, _):
+        rows = f2_vmem[pl.ds(iy * stride2, block_h)]  # (block_h, W+2md, C)
+        for jx in range(d):
+            dx = jx * stride2
+            f2s = rows[:, dx: dx + w, :].astype(jnp.float32)
+            out_ref[0, iy, jx] = jnp.sum(f1 * f2s, axis=-1) * inv_c
         return 0
 
-    jax.lax.fori_loop(0, d * d, body, 0)
+    jax.lax.fori_loop(0, d, body, 0)
 
 
 def correlation_pallas(f1, f2, max_displacement: int = 20, stride2: int = 2,
@@ -128,15 +134,16 @@ def correlation_pallas(f1, f2, max_displacement: int = 20, stride2: int = 2,
             pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec(
-            (1, d * d, block_h, w), lambda ni, hi: (ni, 0, hi, 0),
+            (1, d, d, block_h, w), lambda ni, hi: (ni, 0, 0, hi, 0),
             memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n, d * d, hb, w), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((n, d, d, hb, w), jnp.float32),
         scratch_shapes=[
             pltpu.VMEM((block_h + 2 * md, w + 2 * md, c), f2.dtype),
             pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,
     )(f1p, f2p)
+    out = out.reshape(n, d * d, hb, w)
     return jnp.transpose(out[:, :, :h], (0, 2, 3, 1))
 
 

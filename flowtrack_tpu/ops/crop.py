@@ -63,8 +63,11 @@ def _bilinear_matrix(s, t, out_size: int, src_size: int):
     """(out_size, src_size) bilinear interpolation matrix for
     src = s * i + t (per-person scalars s, t). Out-of-range taps get weight
     0 (constant-0 border)."""
-    i = jax.lax.broadcasted_iota(jnp.float32, (out_size, src_size), 0)
-    j = jax.lax.broadcasted_iota(jnp.float32, (out_size, src_size), 1)
+    # int32 iota + cast: Mosaic's tpu.iota only produces integer vectors
+    i = jax.lax.broadcasted_iota(jnp.int32, (out_size, src_size), 0) \
+        .astype(jnp.float32)
+    j = jax.lax.broadcasted_iota(jnp.int32, (out_size, src_size), 1) \
+        .astype(jnp.float32)
     src = s * i + t                          # (out, src) broadcast over j
     d = 1.0 - jnp.abs(src - j)
     w = jnp.maximum(d, 0.0)
@@ -103,12 +106,15 @@ def crop_resize_normalize(image, centers, scales, out_hw, mean=None,
 
 def _crop_kernel(params_ref, img_ref, out_ref, *, out_h, out_w, h, w, c,
                  mean, std, inv_rgb_max, normalize):
-    """One person per grid step. params: (1, 4) [sx, tx, sy, ty] in SMEM.
-    img: (H, W, C) VMEM (constant across grid). out: (1, C, out_h, out_w)."""
-    sx = params_ref[0, 0]
-    tx = params_ref[0, 1]
-    sy = params_ref[0, 2]
-    ty = params_ref[0, 3]
+    """One person per grid step. params: the FULL (P, 4) [sx, tx, sy, ty]
+    array in SMEM (per-person block shapes violate the (8, 128) divisibility
+    rule on hardware); img: (H, W, C) VMEM (constant across grid);
+    out: (1, C, out_h, out_w)."""
+    i = pl.program_id(0)
+    sx = params_ref[i, 0]
+    tx = params_ref[i, 1]
+    sy = params_ref[i, 2]
+    ty = params_ref[i, 3]
 
     wy = _bilinear_matrix(sy, ty, out_h, h)          # (out_h, H)
     wx = _bilinear_matrix(sx, tx, out_w, w)          # (out_w, W)
@@ -144,8 +150,7 @@ def crop_resize_normalize_pallas(image, centers, scales, out_hw, mean=None,
         kernel,
         grid=(p,),
         in_specs=[
-            pl.BlockSpec((1, 4), lambda i: (i, 0),
-                         memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((h, w, c), lambda i: (0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
