@@ -76,6 +76,7 @@ class FlowConfig:
     # stride1 1, stride2 2, pad 20 -> 21x21=441 channels.
     corr_max_displacement: int = 20
     corr_stride2: int = 2
+    use_pallas_corr: bool = False  # Pallas cost-volume kernel (TPU) vs XLA
     dtype: str = "bfloat16"
 
 

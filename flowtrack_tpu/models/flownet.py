@@ -410,9 +410,11 @@ def get_flow_net(cfg: FlowConfig):
         return FlowNetS(**common)
     if cfg.variant == "flownet_c":
         return FlowNetC(max_displacement=cfg.corr_max_displacement,
-                        corr_stride2=cfg.corr_stride2, **common)
+                        corr_stride2=cfg.corr_stride2,
+                        use_pallas_corr=cfg.use_pallas_corr, **common)
     if cfg.variant == "flownet_sd":
         return FlowNetSD(**common)
     if cfg.variant == "flownet2":
-        return FlowNet2(div_flow=cfg.div_flow, **common)
+        return FlowNet2(div_flow=cfg.div_flow,
+                        use_pallas_corr=cfg.use_pallas_corr, **common)
     raise KeyError(f"unknown flow variant {cfg.variant!r}")

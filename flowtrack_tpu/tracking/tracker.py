@@ -221,15 +221,26 @@ class FlowTracker:
             maxvals = np.zeros((0, 17), np.float32)
             rescored = np.zeros((0,), np.float32)
 
-        # --- greedy OKS id assignment against flow-propagated tracks
+        # --- greedy OKS id assignment against flow-propagated tracks.
+        # Pad both sides to the static max_persons budget so match_step
+        # compiles ONCE per flow shape instead of per (M, N) pair (padding
+        # is greedy-order-safe: invalid entries read -inf, tested).
         assign = np.full((len(joints),), -1, np.int32)
         if len(self.tracks) and len(joints) and flow is not None:
-            m = len(self.tracks)
-            n = len(joints)
+            pmax = max(tcfg.max_persons, len(self.tracks), len(joints))
+            tj = np.zeros((pmax, 17, 2), np.float32)
+            tj[: len(track_joints)] = track_joints
+            tv = np.zeros((pmax,), bool)
+            tv[: len(self.tracks)] = True
+            cj = np.zeros((pmax, 17, 2), np.float32)
+            cj[: len(joints)] = joints
+            cv = np.zeros((pmax,), bool)
+            cv[: len(joints)] = True
             assign = np.asarray(match_step(
-                jnp.asarray(track_joints), jnp.ones((m,), bool),
-                jnp.asarray(joints, jnp.float32), jnp.ones((n,), bool),
-                jnp.asarray(flow), track_thr=tcfg.track_oks_thre)[0])
+                jnp.asarray(tj), jnp.asarray(tv),
+                jnp.asarray(cj), jnp.asarray(cv),
+                jnp.asarray(flow),
+                track_thr=tcfg.track_oks_thre)[0])[: len(joints)]
 
         new_tracks: List[Track] = []
         for j in range(len(joints)):
