@@ -1,0 +1,165 @@
+"""Video/frame-sequence IO + clip batching with cross-clip ID stitching.
+
+The reference's demo path reads videos with cv2.VideoCapture and loops
+frames one by one (SURVEY.md section 4.4/4.5). TPU-native: frames are
+grouped into fixed-length clips (static shapes for the jit'd ClipTracker),
+consecutive clips OVERLAP by one frame, and track ids are stitched across
+the boundary by OKS-matching the shared frame's poses (identical frame ->
+near-1 OKS for the same person).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Iterator, List, Optional
+
+import numpy as np
+
+from flowtrack_tpu.ops.oks import oks_iou_np
+
+
+def iter_video_frames(path: str) -> Iterator[np.ndarray]:
+    """RGB frames from a video file (cv2) or a directory of images."""
+    if os.path.isdir(path):
+        from flowtrack_tpu.data.pose_dataset import load_image
+
+        for name in sorted(os.listdir(path)):
+            if name.lower().endswith((".png", ".jpg", ".jpeg", ".bmp")):
+                yield load_image(os.path.join(path, name))
+        return
+    import cv2
+
+    cap = cv2.VideoCapture(path)
+    try:
+        while True:
+            ok, frame = cap.read()
+            if not ok:
+                break
+            yield cv2.cvtColor(frame, cv2.COLOR_BGR2RGB)
+    finally:
+        cap.release()
+
+
+def clip_spans(n_frames: int, clip_len: int) -> List[range]:
+    """Overlapping spans: [0..L), [L-1..2L-1), ... (1-frame overlap so the
+    flow chain and id stitching cross every boundary)."""
+    if n_frames <= clip_len:
+        return [range(0, n_frames)]
+    spans = []
+    start = 0
+    while start < n_frames - 1:
+        end = min(start + clip_len, n_frames)
+        spans.append(range(start, end))
+        if end == n_frames:
+            break
+        start = end - 1
+    return spans
+
+
+def stitch_ids(prev_last_poses, prev_last_ids, next_first_poses,
+               next_first_ids, oks_thresh: float = 0.8):
+    """Map the next clip's ids onto the previous clip's id space by matching
+    the SHARED overlap frame's poses. Returns {next_id: global_id}."""
+    mapping = {}
+    if len(prev_last_poses) == 0 or len(next_first_poses) == 0:
+        return mapping
+    prev = np.asarray(prev_last_poses, np.float64)
+    nxt = np.asarray(next_first_poses, np.float64)
+
+    def flat(p):
+        k = p.shape[0]
+        out = np.zeros(3 * k)
+        out[0::3] = p[:, 0]
+        out[1::3] = p[:, 1]
+        out[2::3] = 1.0
+        return out
+
+    def area(p):
+        wh = p.max(0) - p.min(0)
+        return float(max(wh[0] * wh[1], 1.0))
+
+    sim = np.zeros((len(prev), len(nxt)))
+    for i in range(len(prev)):
+        sim[i] = oks_iou_np(flat(prev[i]), [flat(q) for q in nxt],
+                            area(prev[i]), [area(q) for q in nxt])
+    s = sim.copy()
+    while True:
+        i, j = np.unravel_index(np.argmax(s), s.shape)
+        if s[i, j] < oks_thresh:
+            break
+        mapping[int(next_first_ids[j])] = int(prev_last_ids[i])
+        s[i, :] = -1
+        s[:, j] = -1
+    return mapping
+
+
+def track_video_clips(tracker, frames: np.ndarray, det_boxes, det_scores,
+                      clip_len: int = 16,
+                      max_persons: Optional[int] = None):
+    """Run a ClipTracker over an arbitrary-length frame sequence.
+
+    frames: (N, H, W, 3); det_boxes/det_scores: per-frame lists (ragged).
+    Returns per-frame lists of dicts {track_id, joints (K, 2), maxvals,
+    score} with globally stitched ids."""
+    from flowtrack_tpu.tracking.clip_pipeline import pad_detections
+
+    max_persons = max_persons or tracker.cfg.track.max_persons
+    n = len(frames)
+    results: List[List[dict]] = [None] * n
+    id_offset = 0
+    prev_tail = None  # (poses, global_ids) of the shared frame
+
+    for span in clip_spans(n, clip_len):
+        idx = list(span)
+        db, dsc, dv = pad_detections([det_boxes[i] for i in idx],
+                                     [det_scores[i] for i in idx],
+                                     max_persons)
+        out = tracker.track_clip(frames[idx], db, dsc, dv)
+
+        # local -> global id translation for this clip
+        local_ids = out["ids"]
+        trans = {}
+        if prev_tail is not None:
+            first_valid = out["valid"][0]
+            first_poses = out["joints"][0][first_valid]
+            first_ids = local_ids[0][first_valid]
+            trans = stitch_ids(prev_tail[0], prev_tail[1],
+                               first_poses, first_ids)
+
+        # fresh per-clip translation: stitched ids via `trans`, new local
+        # ids get consecutive globals starting at id_offset
+        fresh: dict = {}
+        counter = [id_offset]
+
+        def to_global(lid, trans=trans, fresh=fresh, counter=counter):
+            if lid in trans:
+                return trans[lid]
+            if lid not in fresh:
+                fresh[lid] = counter[0]
+                counter[0] += 1
+            return fresh[lid]
+
+        start_t = 1 if prev_tail is not None else 0
+        for tt in range(start_t, len(idx)):
+            fi = idx[tt]
+            poses = []
+            for p in range(max_persons):
+                if not out["valid"][tt, p]:
+                    continue
+                poses.append({
+                    "track_id": to_global(int(local_ids[tt, p])),
+                    "joints": out["joints"][tt, p],
+                    "maxvals": out["maxvals"][tt, p],
+                    "score": float(out["scores"][tt, p]),
+                })
+            results[fi] = poses
+        id_offset = counter[0]
+
+        last_valid = out["valid"][-1]
+        prev_tail = (out["joints"][-1][last_valid],
+                     [to_global(int(v)) for v in local_ids[-1][last_valid]])
+
+    for i in range(n):
+        if results[i] is None:
+            results[i] = []
+    return results
