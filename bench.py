@@ -27,6 +27,7 @@ import numpy as np
 FRAMES = int(os.environ.get("BENCH_FRAMES", "32"))
 PERSONS = int(os.environ.get("BENCH_PERSONS", "8"))
 ORACLE_FRAMES = int(os.environ.get("BENCH_ORACLE_FRAMES", "3"))
+BENCH_CFG = os.environ.get("BENCH_CFG", "coco_res50_256x192")
 H, W = 256, 192
 
 
@@ -46,7 +47,7 @@ def build_tpu_step():
                                       IMAGENET_STD)
     from flowtrack_tpu.tracking.tracker import greedy_match
 
-    cfg = get_config("coco_res50_256x192")
+    cfg = get_config(BENCH_CFG)
     pose = get_pose_net(cfg.model)
     flow_net = FlowNetS(dtype=jnp.bfloat16)
     rngk = jax.random.PRNGKey(0)
@@ -91,7 +92,7 @@ def run_component_bench():
     from flowtrack_tpu.models.pose_resnet import get_pose_net
 
     rng = np.random.default_rng(0)
-    cfg = get_config("coco_res50_256x192")
+    cfg = get_config(BENCH_CFG)
     pose = get_pose_net(cfg.model)
     rngk = jax.random.PRNGKey(0)
     crops = jnp.asarray(rng.normal(0, 1, (2 * PERSONS, H, W, 3)),
@@ -203,19 +204,20 @@ def run_clip_bench():
     from flowtrack_tpu.tracking.clip_pipeline import ClipTracker, \
         pad_detections
 
-    cfg = get_config("coco_res50_256x192")
+    cfg = get_config(BENCH_CFG)
+    h, w = cfg.model.image_size  # frames at model input res (both /64)
     pose = get_pose_net(cfg.model)
     flow_net = FlowNetS(dtype=jnp.bfloat16)
     rngk = jax.random.PRNGKey(0)
     pose_vars = jax.jit(pose.init, static_argnames="train")(
-        rngk, jnp.zeros((1, H, W, 3)), train=False)
+        rngk, jnp.zeros((1, h, w, 3)), train=False)
     flow_vars = jax.jit(flow_net.init, static_argnames="train")(
-        rngk, jnp.zeros((1, H, W, 6)), train=False)
+        rngk, jnp.zeros((1, h, w, 6)), train=False)
 
     tracker = ClipTracker(cfg, pose, pose_vars, flow_net, flow_vars,
                           max_persons=PERSONS)
     rng = np.random.default_rng(0)
-    frames = rng.uniform(0, 255, (FRAMES, H, W, 3)).astype(np.float32)
+    frames = rng.uniform(0, 255, (FRAMES, h, w, 3)).astype(np.float32)
     boxes = [[[20 + 15 * p, 30 + 10 * p, 60, 90] for p in range(PERSONS)]
              for _ in range(FRAMES)]
     scores = [[0.9] * PERSONS for _ in range(FRAMES)]
@@ -260,10 +262,14 @@ def main():
         except Exception:
             oracle_fps = None
 
+    from flowtrack_tpu.config import get_config
+
+    ih, iw = get_config(BENCH_CFG).model.image_size
     out = {
         "metric": "pose+flow_tracking_frames_per_sec_per_chip",
         "value": round(fps, 2),
-        "unit": f"frames/s (256x192, {PERSONS} persons, flip-test)",
+        "unit": f"frames/s ({ih}x{iw}, {PERSONS} persons, flip-test, "
+                f"{BENCH_CFG})",
         "vs_baseline": round(fps / oracle_fps, 2) if oracle_fps else None,
         "platform": platform,
         "oracle_fps_torch_cpu": round(oracle_fps, 3) if oracle_fps else None,

@@ -91,10 +91,14 @@ class ClipTracker:
             flows = flows * jnp.asarray([w / (fq_w * 4.0),
                                          h / (fq_h * 4.0)], jnp.float32)
 
-            # ---- 2. pose on all persons of all frames, one call
+            # ---- 2. pose on all persons of all frames, one call; crops
+            # emitted in the model compute dtype (bf16) to halve the
+            # crop->conv HBM traffic
+            crop_dtype = jnp.dtype(cfg.model.dtype)
             crops = jax.vmap(
                 lambda im, c, s: crop_resize_normalize(
-                    im, c, s, (img_h, img_w), mean, std)
+                    im, c, s, (img_h, img_w), mean, std,
+                    out_dtype=crop_dtype)
             )(frames, centers, scales)                       # (F, P, h, w, 3)
             crops = crops.reshape(f * p, img_h, img_w, 3)
             if flip_test:
