@@ -16,7 +16,7 @@ from typing import Dict, List, Optional
 
 import numpy as np
 
-from flowtrack_tpu.config import COCO_FLIP_PAIRS, Config
+from flowtrack_tpu.config import Config
 from flowtrack_tpu.data.coco import COCODataset
 
 

@@ -38,8 +38,6 @@ def flow_train_step(state: TrainState, batch, div_flow: float = 20.0):
     updates, new_opt = state.tx.update(grads, state.opt_state, state.params)
     new_params = optax.apply_updates(state.params, updates)
     # report full-res EPE as the training metric
-    import jax.numpy as jnp
-
     n, hq, wq, _ = flow2.shape
     up = jax.image.resize(flow2 * div_flow,
                           (n, batch["flow"].shape[1],

@@ -14,7 +14,6 @@ heatmaps never leave the device; decode is on-device too
 
 from __future__ import annotations
 
-import dataclasses
 import functools
 from typing import Any, Callable, Optional
 

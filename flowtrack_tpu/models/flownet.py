@@ -28,7 +28,7 @@ boundary 5+ times per FlowNet2 step.
 
 from __future__ import annotations
 
-from typing import Any, Sequence
+from typing import Any
 
 import jax
 import jax.numpy as jnp

@@ -15,7 +15,7 @@ with kernel stored HWIO *already spatially flipped* relative to torch's
 
 from __future__ import annotations
 
-from typing import Any, Sequence
+from typing import Any
 
 import jax
 import jax.numpy as jnp

@@ -14,7 +14,7 @@ weight converter (utils/torch_convert.py) is a pure name map.
 
 from __future__ import annotations
 
-from typing import Any, Sequence, Tuple
+from typing import Any, Sequence
 
 import jax.numpy as jnp
 from flax import linen as nn

@@ -24,7 +24,6 @@ Shapes are static: F frames x P persons (padded, masked).
 
 from __future__ import annotations
 
-import functools
 from typing import Optional
 
 import numpy as np
@@ -42,7 +41,6 @@ from flowtrack_tpu.ops.crop import crop_resize_normalize
 from flowtrack_tpu.ops.decode import get_final_preds, rescore
 from flowtrack_tpu.ops.heatmap import merge_flip_test
 from flowtrack_tpu.ops.oks import oks_matrix, pose_area
-from flowtrack_tpu.ops.warp import flow_gather
 from flowtrack_tpu.pipeline import batched_box_to_center_scale
 from flowtrack_tpu.tracking.tracker import greedy_match, propagate_poses
 
