@@ -71,6 +71,16 @@ def compute_oks(gts: List[dict], dts: List[dict],
     return ious
 
 
+def _dt_area(dt) -> float:
+    """COCO.loadRes convention for keypoint results: bbox area of the
+    predicted keypoints (no visibility filtering)."""
+    if "area" in dt:
+        return float(dt["area"])
+    kp = np.asarray(dt["keypoints"], np.float64)
+    x, y = kp[0::3], kp[1::3]
+    return float((x.max() - x.min()) * (y.max() - y.min()))
+
+
 def _evaluate_img(gts, dts, ious, area_rng, max_dets):
     """evaluateImg twin for one (image, areaRng). Returns match arrays."""
     for g in gts:
@@ -110,8 +120,14 @@ def _evaluate_img(gts, dts, ious, area_rng, max_dets):
                 dt_ig[tind, dind] = gt_ig[m]
                 dtm[tind, dind] = 1
                 gtm[tind, m] = 1
-    # unmatched dts are never area-ignored in the keypoint task (dt area is
-    # undefined); pycocotools uses the dt 'area' only for bbox/segm.
+    # pycocotools: UNMATCHED dts whose area (keypoint bbox area computed by
+    # COCO.loadRes) falls outside the range are ignored, so out-of-slice
+    # detections don't count as FPs in the medium/large slices
+    dt_area = np.array([_dt_area(d) for d in dts])
+    out_of_rng = (dt_area < area_rng[0]) | (dt_area > area_rng[1])
+    if d_n:
+        dt_ig = np.logical_or(
+            dt_ig, np.logical_and(dtm == 0, out_of_rng[None, :]))
     return {
         "dtm": dtm, "dt_ig": dt_ig, "gt_ig": gt_ig,
         "dt_scores": np.array([d["score"] for d in dts]),

@@ -133,6 +133,18 @@ def test_duplicate_detections_are_fps():
     assert stats2["AP"] <= 1.0
 
 
+def test_unmatched_out_of_range_dt_ignored_in_slices():
+    """A large unmatched detection must not count as an FP in the MEDIUM
+    slice (pycocotools dt-area ignore rule), but drags down the ALL slice."""
+    small_kp = make_pose(100, 100, spread=5.0)
+    gts = [gt_ann(0, small_kp, area=40.0 ** 2)]
+    big_fp = make_pose(500, 500, spread=80.0)  # bbox area ~ (160)^2 > 96^2
+    dts = [dt_ann(0, big_fp, 0.95), dt_ann(0, small_kp, 0.5)]
+    stats = COCOKeypointEval(gts, dts).evaluate()
+    assert np.isclose(stats["APm"], 1.0), stats  # FP ignored in medium
+    assert stats["AP"] < 0.6                     # but counted in all
+
+
 def test_summarize_formats():
     kp = make_pose(100, 100)
     stats = COCOKeypointEval([gt_ann(0, kp)], [dt_ann(0, kp, 0.9)]).evaluate()
