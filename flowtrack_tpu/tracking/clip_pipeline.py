@@ -79,8 +79,18 @@ class ClipTracker:
             f, h, w, _ = frames.shape
             p = centers.shape[1]
 
-            # ---- 1. flow on all pairs, one call
-            pairs = preprocess_pair(frames[:-1], frames[1:],
+            # ---- 1. flow on all pairs, one call. FlowNet needs /64 input
+            # dims; resize the flow branch and rescale components back
+            # (same convention as pipeline.FlowPredictor).
+            net_h = -(-h // 64) * 64
+            net_w = -(-w // 64) * 64
+            if (net_h, net_w) != (h, w):
+                flow_in = jax.image.resize(
+                    frames.astype(jnp.float32), (f, net_h, net_w, 3),
+                    "bilinear")
+            else:
+                flow_in = frames
+            pairs = preprocess_pair(flow_in[:-1], flow_in[1:],
                                     cfg.flow.rgb_max)
             flow_q = flow_model.apply(flow_vars, pairs, train=False)
             fq_h, fq_w = flow_q.shape[1], flow_q.shape[2]

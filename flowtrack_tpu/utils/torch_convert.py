@@ -113,6 +113,61 @@ def convert_pose_resnet(sd: Dict[str, np.ndarray], num_deconv_layers: int = 3):
     return {"params": params, "batch_stats": stats}
 
 
+def convert_resnet_backbone(sd: Dict[str, np.ndarray]):
+    """torchvision-style ResNet state_dict (conv1/bn1/layerL.B.*; fc and
+    avgpool ignored) -> the PoseResNet 'backbone' params/batch_stats
+    subtrees. The reference's ImageNet initialization path (SURVEY.md
+    section 3 PoseResNet row: "ImageNet init")."""
+    params: dict = {}
+    stats: dict = {}
+    b = ("backbone",)
+    _set(params, b + ("conv1", "kernel"), conv_kernel(sd["conv1.weight"]))
+    _bn(params, stats, b + ("bn1",), "bn1", sd)
+    layer_re = re.compile(r"^layer(\d+)\.(\d+)\.(.+)$")
+    seen = set()
+    for key in sd:
+        m = layer_re.match(key)
+        if not m:
+            continue
+        li, bi = int(m.group(1)), int(m.group(2))
+        if (li, bi) in seen:
+            continue
+        seen.add((li, bi))
+        blk = b + (f"layer{li}_{bi}",)
+        tprefix = f"layer{li}.{bi}"
+        for ci in (1, 2, 3):
+            wk = f"{tprefix}.conv{ci}.weight"
+            if wk not in sd:
+                continue
+            _set(params, blk + (f"conv{ci}", "kernel"), conv_kernel(sd[wk]))
+            _bn(params, stats, blk + (f"bn{ci}",), f"{tprefix}.bn{ci}", sd)
+        if f"{tprefix}.downsample.0.weight" in sd:
+            _set(params, blk + ("downsample_conv", "kernel"),
+                 conv_kernel(sd[f"{tprefix}.downsample.0.weight"]))
+            _bn(params, stats, blk + ("downsample_bn",),
+                f"{tprefix}.downsample.1", sd)
+    return {"params": params, "batch_stats": stats}
+
+
+def init_backbone_from_imagenet(variables: dict, sd: Dict[str, np.ndarray]):
+    """Overlay ImageNet backbone weights onto freshly-initialized PoseResNet
+    variables (head stays at its random init, as the reference does)."""
+    conv = convert_resnet_backbone(sd)
+
+    def merge(dst, src):
+        out = dict(dst)
+        for k, v in src.items():
+            out[k] = merge(dst[k], v) if isinstance(v, dict) else v
+        return out
+
+    out = dict(variables)
+    out["params"] = merge(variables["params"],
+                          {"backbone": conv["params"]["backbone"]})
+    out["batch_stats"] = merge(variables.get("batch_stats", {}),
+                               {"backbone": conv["batch_stats"]["backbone"]})
+    return out
+
+
 # ---------------------------------------------------------------------------
 # FlowNet family (models/flownet.py trees).
 #
