@@ -211,8 +211,10 @@ def run_clip_bench():
     rngk = jax.random.PRNGKey(0)
     pose_vars = jax.jit(pose.init, static_argnames="train")(
         rngk, jnp.zeros((1, h, w, 3)), train=False)
+    # FlowNet init needs /64 dims (the clip pipeline resizes internally)
+    fh, fw = -(-h // 64) * 64, -(-w // 64) * 64
     flow_vars = jax.jit(flow_net.init, static_argnames="train")(
-        rngk, jnp.zeros((1, h, w, 6)), train=False)
+        rngk, jnp.zeros((1, fh, fw, 6)), train=False)
 
     tracker = ClipTracker(cfg, pose, pose_vars, flow_net, flow_vars,
                           max_persons=PERSONS)

@@ -125,7 +125,8 @@ def eval_step(model, variables, batch, cfg: Config, flip_pairs):
                           cfg.test.shift_heatmap)
     hm = fwd(batch["input"])
     preds, maxvals = get_final_preds(hm, batch["center"], batch["scale"],
-                                     post_process=cfg.test.post_process)
+                                     post_process=cfg.test.post_process,
+                                     blur_kernel=cfg.test.blur_kernel)
     scores = rescore(batch["score"], maxvals, cfg.test.in_vis_thre)
     return {"preds": preds, "maxvals": maxvals, "scores": scores}
 

@@ -67,11 +67,39 @@ def transform_preds_jax(coords, center, scale, heatmap_hw):
     return affine_transform_jax(coords, inv)
 
 
-def get_final_preds(heatmaps, center, scale, post_process=True):
+def blur_heatmaps(heatmaps, kernel_size: int):
+    """Gaussian-blur heatmaps before decode (the lineage's optional
+    TEST.BLUR_KERNEL / DARK-style smoothing). Depthwise conv, sigma =
+    0.3*((k-1)*0.5 - 1) + 0.8 (cv2.getGaussianKernel default); per-map peak
+    value preserved (the reference rescales so max matches the original)."""
+    if kernel_size <= 1:
+        return heatmaps
+    k = kernel_size
+    sigma = 0.3 * ((k - 1) * 0.5 - 1) + 0.8
+    x = jnp.arange(k, dtype=jnp.float32) - (k - 1) / 2.0
+    g1 = jnp.exp(-(x ** 2) / (2 * sigma * sigma))
+    g1 = g1 / jnp.sum(g1)
+    g2 = jnp.outer(g1, g1)                              # (k, k)
+    nk = heatmaps.shape[-1]
+    kernel = jnp.tile(g2[:, :, None, None], (1, 1, 1, nk))  # HWIO depthwise
+    orig_max = jnp.max(heatmaps, axis=(1, 2), keepdims=True)
+    blurred = jax.lax.conv_general_dilated(
+        heatmaps, kernel, (1, 1),
+        [(k // 2, k // 2), (k // 2, k // 2)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=nk)
+    new_max = jnp.max(blurred, axis=(1, 2), keepdims=True)
+    return blurred * orig_max / jnp.maximum(new_max, 1e-12)
+
+
+def get_final_preds(heatmaps, center, scale, post_process=True,
+                    blur_kernel: int = 0):
     """Full decode: (N, H, W, K) heatmaps + per-person (center, scale)
     -> (N, K, 2) image-space keypoints + (N, K) maxvals. Pure jnp, jittable.
     """
     heatmaps = heatmaps.astype(jnp.float32)
+    if blur_kernel and blur_kernel > 1:
+        heatmaps = blur_heatmaps(heatmaps, blur_kernel)
     preds, maxvals = get_max_preds(heatmaps)
     if post_process:
         preds = _quarter_offset(heatmaps, preds)

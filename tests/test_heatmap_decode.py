@@ -101,3 +101,23 @@ def test_rescore():
     s = np.asarray(rescore(jnp.asarray([1.0, 2.0]), maxvals, in_vis_thre=0.2))
     np.testing.assert_allclose(s[0], (0.9 + 0.5) / 2, rtol=1e-5)
     np.testing.assert_allclose(s[1], 0.0)
+
+
+def test_blur_heatmaps_preserves_peak_location():
+    import numpy as np
+    import jax.numpy as jnp
+
+    from flowtrack_tpu.ops.decode import blur_heatmaps, get_max_preds
+
+    hm = np.zeros((1, 32, 32, 2), np.float32)
+    hm[0, 10, 20, 0] = 1.0
+    hm[0, 25, 5, 1] = 0.7
+    out = np.asarray(blur_heatmaps(jnp.asarray(hm), 11))
+    preds, maxvals = get_max_preds(jnp.asarray(out))
+    np.testing.assert_array_equal(np.asarray(preds)[0, 0], [20, 10])
+    np.testing.assert_array_equal(np.asarray(preds)[0, 1], [5, 25])
+    # peak value preserved (reference rescales to the original max)
+    np.testing.assert_allclose(np.asarray(maxvals)[0], [1.0, 0.7],
+                               rtol=1e-5)
+    # energy actually spread to neighbors
+    assert out[0, 10, 21, 0] > 0.3

@@ -58,7 +58,8 @@ def run_validation(cfg, model, variables, mesh=None, output_dir=None,
     def step(inp, center, scale, score):
         hm = fwd(inp)
         preds, maxvals = get_final_preds(hm, center, scale,
-                                         cfg.test.post_process)
+                                         cfg.test.post_process,
+                                         blur_kernel=cfg.test.blur_kernel)
         return preds, maxvals, rescore(score, maxvals, cfg.test.in_vis_thre)
 
     all_preds, all_maxvals, all_scores, all_ids = [], [], [], []
