@@ -58,13 +58,19 @@ def test_overfit_checkpoint_resume(tmp_path, rng):
     fresh = create_train_state(model, CFG, jax.random.PRNGKey(1),
                                jnp.asarray(batch["input"][:1]))
     restored, epoch = mgr.restore(fresh)
-    assert epoch == 0 and int(restored.step) == 25
-    # resumed training continues to descend from the restored point
-    restored, m0 = step(restored, batch)
-    assert float(m0["loss"]) <= losses[-1] * 1.5
-    for _ in range(4):
+    assert epoch == 0 and int(restored.step) == 40
+    # restored state is EXACTLY the saved one
+    for a, b in zip(jax.tree.leaves(state.params),
+                    jax.tree.leaves(restored.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # resumed training keeps descending over a window (single steps can
+    # bump — Adam after BN-stat refresh — so compare windows, loosely)
+    resumed = []
+    for _ in range(10):
         restored, m = step(restored, batch)
-    assert float(m["loss"]) < float(m0["loss"]) * 1.2
+        resumed.append(float(m["loss"]))
+    assert np.mean(resumed[-3:]) < np.mean(losses[-3:]) * 1.1, (
+        losses[-3:], resumed)
     mgr.close()
 
 
