@@ -153,43 +153,6 @@ def run_tpu_bench():
     return FRAMES / dt
 
 
-def run_oracle_bench():
-    """Same per-frame work in torch-CPU (the measured denominator)."""
-    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-    import torch
-
-    from tests.oracles.flownet_torch import FlowNetSTorch
-    from tests.oracles.pose_resnet_torch import PoseResNetTorch
-
-    torch.manual_seed(0)
-    torch.set_num_threads(os.cpu_count() or 8)
-    pose = PoseResNetTorch(50).eval()
-    flow = FlowNetSTorch().eval()
-    rng = np.random.default_rng(0)
-    pair = torch.from_numpy(
-        rng.uniform(-1, 1, (1, 6, H, W)).astype(np.float32))
-    crops = torch.from_numpy(
-        rng.uniform(-1, 1, (PERSONS * 2, 3, H, W)).astype(np.float32))
-
-    def frame():
-        with torch.no_grad():
-            f = flow(pair)
-            hm = pose(crops)  # flip test == 2x batch
-        hm_np = hm.numpy()
-        # host decode (argmax + quarter pixel), as the reference does
-        n, k, hh, ww = hm_np.shape
-        flat = hm_np.reshape(n, k, -1)
-        idx = flat.argmax(-1)
-        px, py = idx % ww, idx // ww
-        return f, px, py
-
-    frame()  # warm-up
-    t0 = time.perf_counter()
-    for _ in range(ORACLE_FRAMES):
-        frame()
-    return ORACLE_FRAMES / (time.perf_counter() - t0)
-
-
 def run_clip_bench():
     """Headline path: whole-clip batched tracking (tracking/clip_pipeline).
 
@@ -205,7 +168,7 @@ def run_clip_bench():
         pad_detections
 
     cfg = get_config(BENCH_CFG)
-    h, w = cfg.model.image_size  # frames at model input res (both /64)
+    h, w = cfg.model.image_size  # frames at model input res
     pose = get_pose_net(cfg.model)
     flow_net = FlowNetS(dtype=jnp.bfloat16)
     rngk = jax.random.PRNGKey(0)
@@ -240,6 +203,15 @@ def run_clip_bench():
     dt = (time.perf_counter() - t0) / reps
     assert out[3].shape == (FRAMES, PERSONS)
     return FRAMES / dt
+
+
+def run_oracle_bench():
+    """Same per-frame work in torch-CPU (the measured denominator) —
+    single source of truth lives in benchmarks/reference_oracle.py."""
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from benchmarks.reference_oracle import measure_oracle_fps
+
+    return measure_oracle_fps(ORACLE_FRAMES, PERSONS, H, W)
 
 
 def main():

@@ -24,14 +24,10 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def main():
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--frames", type=int, default=3)
-    ap.add_argument("--persons", type=int, default=8)
-    ap.add_argument("--height", type=int, default=256)
-    ap.add_argument("--width", type=int, default=192)
-    args = ap.parse_args()
-
+def make_oracle_frame_fn(persons: int = 8, h: int = 256, w: int = 192):
+    """THE oracle per-frame work (single source of truth — bench.py imports
+    this): FlowNetS on one frame pair + PoseResNet-50 on persons crops with
+    flip-test (2x batch) + host argmax decode."""
     import torch
 
     from tests.oracles.flownet_torch import FlowNetSTorch
@@ -42,10 +38,9 @@ def main():
     pose = PoseResNetTorch(50).eval()
     flow = FlowNetSTorch().eval()
     rng = np.random.default_rng(0)
-    h, w = args.height, args.width
     pair = torch.from_numpy(rng.uniform(-1, 1, (1, 6, h, w)).astype(np.float32))
     crops = torch.from_numpy(
-        rng.uniform(-1, 1, (args.persons * 2, 3, h, w)).astype(np.float32))
+        rng.uniform(-1, 1, (persons * 2, 3, h, w)).astype(np.float32))
 
     def frame():
         with torch.no_grad():
@@ -57,11 +52,29 @@ def main():
         idx = flat.argmax(-1)
         return f, idx % ww, idx // ww
 
+    return frame
+
+
+def measure_oracle_fps(frames: int = 3, persons: int = 8, h: int = 256,
+                       w: int = 192) -> float:
+    frame = make_oracle_frame_fn(persons, h, w)
     frame()  # warm-up
     t0 = time.perf_counter()
-    for _ in range(args.frames):
+    for _ in range(frames):
         frame()
-    dt = (time.perf_counter() - t0) / args.frames
+    return frames / (time.perf_counter() - t0)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--frames", type=int, default=3)
+    ap.add_argument("--persons", type=int, default=8)
+    ap.add_argument("--height", type=int, default=256)
+    ap.add_argument("--width", type=int, default=192)
+    args = ap.parse_args()
+    h, w = args.height, args.width
+    fps = measure_oracle_fps(args.frames, args.persons, h, w)
+    dt = 1.0 / fps
     print(json.dumps({
         "metric": "reference_oracle_torch_cpu_fps",
         "value": round(1.0 / dt, 4),

@@ -92,6 +92,26 @@ class COCODataset(PoseDataset):
                 "(cfg.test.bbox_file or the bbox_file argument)")
         with open(bbox_file) as f:
             dets = json.load(f)
+        # optional detection-box NMS at cfg.test.nms_thre (reference
+        # TEST.NMS_THRE; default 1.0 keeps every box — OKS-NMS handles
+        # duplicates after pose). The tracker's det+propagated suppression
+        # is a separate knob: cfg.track.box_nms_thre.
+        if self.cfg.test.nms_thre < 1.0 and dets:
+            from flowtrack_tpu import native
+
+            by_img = {}
+            for d in dets:
+                by_img.setdefault(d["image_id"], []).append(d)
+            kept = []
+            for img_dets in by_img.values():
+                arr = np.array([[*d["bbox"][:2],
+                                 d["bbox"][0] + d["bbox"][2],
+                                 d["bbox"][1] + d["bbox"][3],
+                                 d.get("score", 1.0)] for d in img_dets],
+                               np.float32)
+                for i in native.cpu_nms(arr, self.cfg.test.nms_thre):
+                    kept.append(img_dets[i])
+            dets = kept
         db = []
         for det in dets:
             if det.get("category_id", 1) != 1:

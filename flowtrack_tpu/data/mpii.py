@@ -85,7 +85,9 @@ class MPIIDataset(PoseDataset):
             "Hip": [2, 3], "Knee": [1, 4], "Ankle": [0, 5],
         }
         stats = {k: pckh(v) for k, v in groups.items()}
-        stats["Mean"] = pckh(list(range(self.num_joints)))
+        # reference protocol masks pelvis (6) and thorax (7) out of Mean
+        stats["Mean"] = pckh([j for j in range(self.num_joints)
+                              if j not in (6, 7)])
         return stats
 
 

@@ -23,7 +23,10 @@ def heatmap_accuracy(pred_hm, gt_hm, thr: float = 0.5):
     n, h, w, k = pred_hm.shape
     pred, _ = get_max_preds(pred_hm)
     target, _ = get_max_preds(gt_hm)
-    norm = jnp.array([w, h], jnp.float32) / 10.0
+    # parity quirk: the reference normalizes (x, y) by [h, w]/10 — h against
+    # the x coordinate — and training logs are only comparable if we match
+    # it (core/evaluate.py lineage)
+    norm = jnp.array([h, w], jnp.float32) / 10.0
 
     dists = jnp.linalg.norm((pred - target) / norm, axis=-1)      # (N, K)
     visible = (target[..., 0] > 1.0) & (target[..., 1] > 1.0)     # (N, K)

@@ -104,15 +104,28 @@ def train_step(state: TrainState, batch, use_target_weight: bool = True):
 
 def pose_forward_fn(model, variables, flip_test: bool, flip_pairs,
                     shift_heatmap: bool = True):
-    """Inference forward with fused flip-test: one double-batch XLA call."""
+    """Inference forward with fused flip-test: one double-batch XLA call.
 
-    def fwd(x):
+    NOTE: closes over ``variables`` — convenient for interactive use, but
+    jitting the closure bakes the weights into the program as constants
+    (breaks the >100MB relay limit, CLAUDE.md). For jitted pipelines use
+    ``pose_forward_args_fn`` and pass variables as an argument."""
+    fwd = pose_forward_args_fn(model, flip_test, flip_pairs, shift_heatmap)
+    return lambda x: fwd(variables, x)
+
+
+def pose_forward_args_fn(model, flip_test: bool, flip_pairs,
+                         shift_heatmap: bool = True):
+    """Like pose_forward_fn but variables are a call argument (jit-safe)."""
+
+    def fwd(variables, x):
         if not flip_test:
             return model.apply(variables, x, train=False)
         both = jnp.concatenate([x, x[:, :, ::-1, :]], axis=0)
         hm = model.apply(variables, both, train=False)
         n = x.shape[0]
-        return merge_flip_test(hm[:n], hm[n:], flip_pairs, shift=shift_heatmap)
+        return merge_flip_test(hm[:n], hm[n:], flip_pairs,
+                               shift=shift_heatmap)
 
     return fwd
 

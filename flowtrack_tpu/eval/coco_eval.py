@@ -98,6 +98,7 @@ def _evaluate_img(gts, dts, ious, area_rng, max_dets):
     gtm = np.zeros((t_n, g_n))
     dtm = np.zeros((t_n, d_n))
     gt_ig = np.array([g["_ignore"] for g in gts])
+    iscrowd = np.array([g.get("iscrowd", 0) for g in gts])
     dt_ig = np.zeros((t_n, d_n))
 
     if len(ious):
@@ -106,7 +107,9 @@ def _evaluate_img(gts, dts, ious, area_rng, max_dets):
                 iou = min(t, 1 - 1e-10)
                 m = -1
                 for gind in range(g_n):
-                    if gtm[tind, gind] > 0:
+                    # crowd GTs may absorb multiple detections
+                    # (pycocotools: `if gtm>0 and not iscrowd: continue`)
+                    if gtm[tind, gind] > 0 and not iscrowd[gind]:
                         continue
                     # best non-ignore match found and this gt is ignore: stop
                     if m > -1 and gt_ig[m] == 0 and gt_ig[gind] == 1:

@@ -403,6 +403,28 @@ def flow_at_full_res(model_out_quarter, div_flow: float = 20.0):
     return _upsample4(model_out_quarter * div_flow)
 
 
+def flow_output_is_full_res(variant: str) -> bool:
+    """FlowNetS/C/SD emit quarter-res flow scaled by 1/div_flow; the
+    FlowNet2 cascade's fusion net emits FINAL full-resolution flow. Callers
+    (pipeline.FlowPredictor, tracking ClipTracker) must not re-upsample or
+    re-scale the latter."""
+    return variant == "flownet2"
+
+
+def postprocess_flow(flow_out, variant: str, out_hw, div_flow: float = 20.0):
+    """Model output -> full-resolution flow at ``out_hw``, with flow
+    components rescaled when the spatial size changes. Handles both output
+    conventions (see flow_output_is_full_res)."""
+    n, fh, fw, _ = flow_out.shape
+    if not flow_output_is_full_res(variant):
+        flow_out = flow_out * div_flow
+        fh, fw = fh * 4, fw * 4
+    oh, ow = out_hw
+    flow = jax.image.resize(flow_out, (n, oh, ow, 2), "bilinear")
+    scale = jnp.asarray([ow / fw, oh / fh], jnp.float32)
+    return flow * scale
+
+
 def get_flow_net(cfg: FlowConfig):
     dtype = jnp.dtype(cfg.dtype)
     common = dict(use_bn=cfg.batch_norm, dtype=dtype)

@@ -52,7 +52,8 @@ def _quarter_offset(heatmaps, preds):
     gather_b = jax.vmap(gather)
     dx = gather_b(heatmaps, py, px + 1) - gather_b(heatmaps, py, px - 1)
     dy = gather_b(heatmaps, py + 1, px) - gather_b(heatmaps, py - 1, px)
-    inside = ((px > 0) & (px < w - 1) & (py > 0) & (py < h - 1))
+    # reference gate is STRICT: 1 < p < size-1 (peaks AT 1 stay unshifted)
+    inside = ((px > 1) & (px < w - 1) & (py > 1) & (py < h - 1))
     off = jnp.stack([jnp.sign(dx), jnp.sign(dy)], axis=-1) * 0.25
     return preds + off * inside[..., None].astype(jnp.float32)
 

@@ -22,7 +22,11 @@ from flowtrack_tpu.config import (
     PIXEL_STD,
     Config,
 )
-from flowtrack_tpu.models.flownet import get_flow_net, preprocess_pair
+from flowtrack_tpu.models.flownet import (
+    get_flow_net,
+    postprocess_flow,
+    preprocess_pair,
+)
 from flowtrack_tpu.models.pose_resnet import get_pose_net
 from flowtrack_tpu.ops.crop import crop_resize_normalize
 from flowtrack_tpu.ops.decode import get_final_preds, rescore
@@ -138,6 +142,8 @@ class FlowPredictor:
         self.target_hw = target_hw
         self._jitted = {}
 
+        variant = cfg.flow.variant
+
         def device_fn(variables, im1, im2, net_hw, out_hw):
             x1 = jax.image.resize(im1.astype(jnp.float32),
                                   (net_hw[0], net_hw[1], 3), "bilinear")
@@ -145,16 +151,10 @@ class FlowPredictor:
                                   (net_hw[0], net_hw[1], 3), "bilinear")
             x = preprocess_pair(x1[None], x2[None], self.rgb_max)
             flow_q = self.model.apply(variables, x, train=False)
-            # quarter-res net output -> net-res flow
-            n, hq, wq, _ = flow_q.shape
-            flow = jax.image.resize(flow_q * self.div_flow,
-                                    (n, hq * 4, wq * 4, 2), "bilinear")
-            # net-res -> source-res, rescaling flow components
-            flow = jax.image.resize(flow, (n, out_hw[0], out_hw[1], 2),
-                                    "bilinear")
-            scale = jnp.asarray([out_hw[1] / net_hw[1],
-                                 out_hw[0] / net_hw[0]], jnp.float32)
-            return flow[0] * scale
+            # handles both conventions: S/C/SD quarter-res flow/div_flow,
+            # FlowNet2 full-res final flow (models/flownet.postprocess_flow)
+            return postprocess_flow(flow_q, variant, out_hw,
+                                    self.div_flow)[0]
 
         self._device_fn = device_fn
 

@@ -36,7 +36,7 @@ from flowtrack_tpu.config import (
     IMAGENET_STD,
     Config,
 )
-from flowtrack_tpu.models.flownet import preprocess_pair
+from flowtrack_tpu.models.flownet import postprocess_flow, preprocess_pair
 from flowtrack_tpu.ops.crop import crop_resize_normalize
 from flowtrack_tpu.ops.decode import get_final_preds, rescore
 from flowtrack_tpu.ops.heatmap import merge_flip_test
@@ -93,11 +93,10 @@ class ClipTracker:
             pairs = preprocess_pair(flow_in[:-1], flow_in[1:],
                                     cfg.flow.rgb_max)
             flow_q = flow_model.apply(flow_vars, pairs, train=False)
-            fq_h, fq_w = flow_q.shape[1], flow_q.shape[2]
-            flows = jax.image.resize(flow_q * div_flow,
-                                     (f - 1, h, w, 2), "bilinear")
-            flows = flows * jnp.asarray([w / (fq_w * 4.0),
-                                         h / (fq_h * 4.0)], jnp.float32)
+            # handles both output conventions (quarter-res/div_flow vs the
+            # FlowNet2 cascade's final full-res flow)
+            flows = postprocess_flow(flow_q, cfg.flow.variant, (h, w),
+                                     div_flow)
 
             # ---- 2. pose on all persons of all frames, one call; crops
             # emitted in the model compute dtype (bf16) to halve the
@@ -166,8 +165,12 @@ class ClipTracker:
         centers = np.zeros((f, p, 2), np.float32)
         scales = np.full((f, p, 2), 1e-3, np.float32)
         for t in range(f):
-            c, s = batched_box_to_center_scale(
-                np.maximum(det_boxes[t], 1e-3), self.aspect_ratio)
+            # clamp only w/h (padded zero boxes would give zero scale);
+            # x/y may legitimately be negative for off-edge detections
+            boxes_t = np.concatenate(
+                [det_boxes[t][:, :2],
+                 np.maximum(det_boxes[t][:, 2:], 1e-3)], axis=1)
+            c, s = batched_box_to_center_scale(boxes_t, self.aspect_ratio)
             centers[t], scales[t] = c, s
         return (jnp.asarray(frames), jnp.asarray(centers),
                 jnp.asarray(scales),

@@ -116,6 +116,19 @@ def greedy_match(sim, thr, row_valid=None, col_valid=None):
 
 
 @functools.partial(jax.jit, static_argnames=("track_thr",))
+def match_propagated(prop_joints, track_valid, cand_joints, cand_valid,
+                     track_thr: float = 0.5):
+    """Greedy OKS assignment given ALREADY-propagated track poses.
+
+    prop_joints: (M, K, 2); cand_joints: (N, K, 2) -> assign (N,) int32
+    row index or -1."""
+    areas_t = pose_area(prop_joints)
+    areas_c = pose_area(cand_joints)
+    sim = oks_matrix(prop_joints, areas_t, cand_joints, areas_c)
+    return greedy_match(sim, track_thr, track_valid, cand_valid)
+
+
+@functools.partial(jax.jit, static_argnames=("track_thr",))
 def match_step(track_joints, track_valid, cand_joints, cand_valid,
                flow, track_thr: float = 0.5):
     """One fused device step of the matcher: propagate tracks through the
@@ -124,10 +137,8 @@ def match_step(track_joints, track_valid, cand_joints, cand_valid,
     track_joints: (M, K, 2); cand_joints: (N, K, 2); flow: (H, W, 2).
     Returns (assign (N,) int32 row index or -1, propagated (M, K, 2))."""
     prop = propagate_poses(track_joints, flow)
-    areas_t = pose_area(prop)
-    areas_c = pose_area(cand_joints)
-    sim = oks_matrix(prop, areas_t, cand_joints, areas_c)
-    assign = greedy_match(sim, track_thr, track_valid, cand_valid)
+    assign = match_propagated(prop, track_valid, cand_joints, cand_valid,
+                              track_thr=track_thr)
     return assign, prop
 
 
@@ -228,19 +239,20 @@ class FlowTracker:
         assign = np.full((len(joints),), -1, np.int32)
         if len(self.tracks) and len(joints) and flow is not None:
             pmax = max(tcfg.max_persons, len(self.tracks), len(joints))
+            # reuse the propagation already computed for the prop boxes —
+            # no second flow_gather per frame
             tj = np.zeros((pmax, 17, 2), np.float32)
-            tj[: len(track_joints)] = track_joints
+            tj[: len(prop)] = prop
             tv = np.zeros((pmax,), bool)
             tv[: len(self.tracks)] = True
             cj = np.zeros((pmax, 17, 2), np.float32)
             cj[: len(joints)] = joints
             cv = np.zeros((pmax,), bool)
             cv[: len(joints)] = True
-            assign = np.asarray(match_step(
+            assign = np.asarray(match_propagated(
                 jnp.asarray(tj), jnp.asarray(tv),
                 jnp.asarray(cj), jnp.asarray(cv),
-                jnp.asarray(flow),
-                track_thr=tcfg.track_oks_thre)[0])[: len(joints)]
+                track_thr=tcfg.track_oks_thre))[: len(joints)]
 
         new_tracks: List[Track] = []
         for j in range(len(joints)):

@@ -23,7 +23,7 @@ from flowtrack_tpu.config import (
 )
 from flowtrack_tpu.data import BatchLoader, COCODataset, MPIIDataset
 from flowtrack_tpu.engine.checkpoint import load_npz_variables
-from flowtrack_tpu.engine.train import pose_forward_fn
+from flowtrack_tpu.engine.train import pose_forward_args_fn
 from flowtrack_tpu.models.pose_resnet import get_pose_net
 from flowtrack_tpu.ops.decode import get_final_preds, rescore
 from flowtrack_tpu.parallel import batch_sharding, make_mesh
@@ -51,12 +51,14 @@ def run_validation(cfg, model, variables, mesh=None, output_dir=None,
     batch_size = cfg.test.batch_size * mesh.size
     loader = BatchLoader(dataset, batch_size, pad_to_batch=True)
 
-    fwd = pose_forward_fn(model, variables, cfg.test.flip_test, flip_pairs,
-                          cfg.test.shift_heatmap)
+    # variables are a jit ARGUMENT (closing over them bakes >100MB of
+    # weights into the program — HTTP 413 on the TPU relay, CLAUDE.md)
+    fwd = pose_forward_args_fn(model, cfg.test.flip_test, flip_pairs,
+                               cfg.test.shift_heatmap)
 
     @jax.jit
-    def step(inp, center, scale, score):
-        hm = fwd(inp)
+    def step(variables, inp, center, scale, score):
+        hm = fwd(variables, inp)
         preds, maxvals = get_final_preds(hm, center, scale,
                                          cfg.test.post_process,
                                          blur_kernel=cfg.test.blur_kernel)
@@ -66,6 +68,7 @@ def run_validation(cfg, model, variables, mesh=None, output_dir=None,
     for batch in loader:
         n = int(batch["n_valid"])
         preds, maxvals, scores = step(
+            variables,
             jax.device_put(batch["input"], data_sh),
             jax.device_put(batch["center"], data_sh),
             jax.device_put(batch["scale"], data_sh),
