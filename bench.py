@@ -168,6 +168,10 @@ def run_clip_bench():
         pad_detections
 
     cfg = get_config(BENCH_CFG)
+    if os.environ.get("BENCH_FLIP") == "0":
+        from dataclasses import replace
+
+        cfg = replace(cfg, test=replace(cfg.test, flip_test=False))
     h, w = cfg.model.image_size  # frames at model input res
     pose = get_pose_net(cfg.model)
     flow_net = FlowNetS(dtype=jnp.bfloat16)
@@ -239,10 +243,11 @@ def main():
     from flowtrack_tpu.config import get_config
 
     ih, iw = get_config(BENCH_CFG).model.image_size
+    flip = "no-flip" if os.environ.get("BENCH_FLIP") == "0" else "flip-test"
     out = {
         "metric": "pose+flow_tracking_frames_per_sec_per_chip",
         "value": round(fps, 2),
-        "unit": f"frames/s ({ih}x{iw}, {PERSONS} persons, flip-test, "
+        "unit": f"frames/s ({ih}x{iw}, {PERSONS} persons, {flip}, "
                 f"{BENCH_CFG})",
         "vs_baseline": round(fps / oracle_fps, 2) if oracle_fps else None,
         "platform": platform,
