@@ -174,7 +174,19 @@ def run_clip_bench():
         cfg = replace(cfg, test=replace(cfg.test, flip_test=False))
     h, w = cfg.model.image_size  # frames at model input res
     pose = get_pose_net(cfg.model)
-    flow_net = FlowNetS(dtype=jnp.bfloat16)
+    flow_variant = os.environ.get("BENCH_FLOW", "flownet_s")
+    if flow_variant != "flownet_s":
+        from dataclasses import replace
+
+        from flowtrack_tpu.models.flownet import get_flow_net
+
+        fcfg = replace(cfg.flow, variant=flow_variant,
+                       use_pallas_corr=os.environ.get(
+                           "BENCH_PALLAS_CORR", "1") == "1")
+        cfg = replace(cfg, flow=fcfg)
+        flow_net = get_flow_net(fcfg)
+    else:
+        flow_net = FlowNetS(dtype=jnp.bfloat16)
     rngk = jax.random.PRNGKey(0)
     pose_vars = jax.jit(pose.init, static_argnames="train")(
         rngk, jnp.zeros((1, h, w, 3)), train=False)

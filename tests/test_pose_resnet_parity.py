@@ -92,3 +92,25 @@ def test_pose_resnet50_full_parity():
     out = np.asarray(model.apply(variables, jnp.asarray(x), train=False))
     assert out.shape == ref.shape
     np.testing.assert_allclose(out, ref, atol=2e-3, rtol=1e-3)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("layers", [101, 152])
+def test_deep_resnet_converter_structure(layers):
+    """101/152: converted tree exactly matches the init tree (no forward —
+    the block math is already pinned by the 50-layer golden)."""
+    oracle = random_pose_resnet(layers)
+    variables = convert_pose_resnet(state_dict_to_numpy(oracle.state_dict()))
+    cfg = ModelConfig(num_layers=layers, dtype="float32")
+    model = PoseResNet(cfg=cfg)
+    init_vars = jax.eval_shape(
+        lambda: model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, 64, 64, 3)), train=False))
+    got = {jax.tree_util.keystr(k): v.shape for k, v in
+           jax.tree_util.tree_flatten_with_path(variables)[0]}
+    want = {jax.tree_util.keystr(k): tuple(v.shape) for k, v in
+            jax.tree_util.tree_flatten_with_path(init_vars)[0]}
+    got = {k: tuple(v) for k, v in got.items()}
+    assert got == want, (
+        f"missing: {sorted(set(want) - set(got))[:4]} "
+        f"extra: {sorted(set(got) - set(want))[:4]}")
