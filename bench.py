@@ -195,10 +195,11 @@ def run_clip_bench():
     flow_vars = jax.jit(flow_net.init, static_argnames="train")(
         rngk, jnp.zeros((1, fh, fw, 6)), train=False)
 
-    if os.environ.get("BENCH_QUANT") == "1":
-        # int8 W8A8 pose (models/quantize.py): the v5e MXU runs int8 at 2x
-        # the bf16 rate. Calibration on one random crop batch (protocol
-        # timing only — real deployments calibrate on data).
+    quant_mode = os.environ.get("BENCH_QUANT", "")
+    if quant_mode in ("1", "mixed"):
+        # int8 W8A8 pose (models/quantize.py). "mixed": int8 only where it
+        # wins on this chip, bf16 elsewhere. Calibration on one random crop
+        # batch (protocol timing only — real deployments calibrate on data).
         from dataclasses import replace as _replace
 
         from flowtrack_tpu.models.quantize import quantize_pose_model
@@ -209,7 +210,9 @@ def run_clip_bench():
             rngk, jnp.zeros((1, h, w, 3)), train=False)
         calib = jnp.asarray(np.random.default_rng(1).normal(
             0, 1, (PERSONS * 2, h, w, 3)), jnp.float32)
-        pose, pose_vars = quantize_pose_model(fpose, fvars, fcfg, [calib])
+        pose, pose_vars = quantize_pose_model(
+            fpose, fvars, fcfg, [calib], mixed=quant_mode == "mixed",
+            compute_dtype=jnp.bfloat16)
 
     tracker = ClipTracker(cfg, pose, pose_vars, flow_net, flow_vars,
                           max_persons=PERSONS)

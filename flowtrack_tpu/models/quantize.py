@@ -37,19 +37,27 @@ class QuantConv(nn.Module):
     """Conv(+bias) with optional int8 W8A8 execution.
 
     Modes: calibrate=True records the input absmax into the mutable
-    'quant' collection and runs fp32; quantized=False runs fp32 (folded
-    baseline); quantized=True runs the int8 path."""
+    'quant' collection and runs float; quantized=False runs float (folded
+    baseline); quantized=True runs int8 — unless ``mixed`` is set, in which
+    case int8 applies only where it wins on this hardware (measured,
+    STATUS.md): 1x1 convs (pure matmuls, 3.4x) and <=64-channel inputs
+    (stage-1 3x3, 4.5x); XLA's int8 lowering is SLOWER for 128+-channel
+    3x3 at small spatial dims, so those stay in ``compute_dtype``."""
 
     features: int
     kernel_size: int = 3
     strides: int = 1
     padding: int = 0
     transpose: bool = False
+    mixed: bool = False
+    compute_dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, calibrate: bool = False, quantized: bool = True):
         k, s, p = self.kernel_size, self.strides, self.padding
         cin = x.shape[-1]
+        if self.mixed and quantized:
+            quantized = (not self.transpose) and (k == 1 or cin <= 64)
         kernel = self.param("kernel", nn.initializers.zeros,
                             (k, k, cin, self.features), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros,
@@ -74,9 +82,10 @@ class QuantConv(nn.Module):
             quantized = False
 
         if not quantized:
+            dt = jnp.dtype(self.compute_dtype)
             y = jax.lax.conv_general_dilated(
-                x.astype(jnp.float32), kernel, **conv_kw)
-            return y + bias
+                x.astype(dt), kernel.astype(dt), **conv_kw)
+            return y.astype(jnp.float32) + bias
 
         a_scale = jnp.maximum(amax.value, 1e-6) / 127.0
         xq = jnp.clip(jnp.round(x.astype(jnp.float32) / a_scale),
@@ -97,43 +106,50 @@ class _QBlock(nn.Module):
     features: int
     strides: int = 1
     downsample: bool = False
+    mixed: bool = False
+    compute_dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, calibrate=False, quantized=True):
         kw = dict(calibrate=calibrate, quantized=quantized)
+        mk = dict(mixed=self.mixed, compute_dtype=self.compute_dtype)
         residual = x
         if self.block == "bottleneck":
-            y = QuantConv(self.features, 1, 1, 0, name="conv1")(x, **kw)
+            y = QuantConv(self.features, 1, 1, 0, name="conv1", **mk)(x, **kw)
             y = nn.relu(y)
             y = QuantConv(self.features, 3, self.strides, 1,
-                          name="conv2")(y, **kw)
+                          name="conv2", **mk)(y, **kw)
             y = nn.relu(y)
-            y = QuantConv(self.features * 4, 1, 1, 0, name="conv3")(y, **kw)
+            y = QuantConv(self.features * 4, 1, 1, 0, name="conv3", **mk)(y, **kw)
             out_f = self.features * 4
         else:
             y = QuantConv(self.features, 3, self.strides, 1,
-                          name="conv1")(x, **kw)
+                          name="conv1", **mk)(x, **kw)
             y = nn.relu(y)
-            y = QuantConv(self.features, 3, 1, 1, name="conv2")(y, **kw)
+            y = QuantConv(self.features, 3, 1, 1, name="conv2", **mk)(y, **kw)
             out_f = self.features
         if self.downsample:
             residual = QuantConv(out_f, 1, self.strides, 0,
-                                 name="downsample_conv")(x, **kw)
+                                 name="downsample_conv", **mk)(x, **kw)
         return nn.relu(y + residual)
 
 
 class PoseResNetQ(nn.Module):
     """int8-inference PoseResNet (BN folded away). Same topology and
-    conv names as models.pose_resnet.PoseResNet."""
+    conv names as models.pose_resnet.PoseResNet. ``mixed`` applies int8
+    only where it beats ``compute_dtype`` on this hardware."""
 
     cfg: ModelConfig
+    mixed: bool = False
+    compute_dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, calibrate: bool = False, quantized: bool = True):
         kw = dict(calibrate=calibrate, quantized=quantized)
+        mk = dict(mixed=self.mixed, compute_dtype=self.compute_dtype)
         block, stages = RESNET_SPECS[self.cfg.num_layers]
         x = x.astype(jnp.float32)
-        x = QuantConv(64, 7, 2, 3, name="conv1")(x, **kw)
+        x = QuantConv(64, 7, 2, 3, name="conv1", **mk)(x, **kw)
         x = nn.relu(x)
         x = max_pool_same_as_torch(x, 3, 2, 1)
 
@@ -147,14 +163,14 @@ class PoseResNetQ(nn.Module):
                                    or in_features != features * expansion)
                 x = _QBlock(block=block, features=features,
                             strides=strides if b == 0 else 1,
-                            downsample=down,
+                            downsample=down, **mk,
                             name=f"layer{stage + 1}_{b}")(x, **kw)
             in_features = features * expansion
 
         for i in range(self.cfg.num_deconv_layers):
             k = self.cfg.num_deconv_kernels[i]
             x = QuantConv(self.cfg.num_deconv_filters[i], k, 2,
-                          (k - 2) // 2, transpose=True,
+                          (k - 2) // 2, transpose=True, **mk,
                           name=f"deconv{i}")(x, **kw)
             x = nn.relu(x)
 
@@ -264,9 +280,13 @@ class QuantPoseAdapter:
 
 
 def quantize_pose_model(float_model, float_variables, cfg: ModelConfig,
-                        calib_batches):
-    """One-call PTQ: float PoseResNet -> (adapter, quant variables)."""
-    qmodel = PoseResNetQ(cfg=cfg)
+                        calib_batches, mixed: bool = False,
+                        compute_dtype=jnp.float32):
+    """One-call PTQ: float PoseResNet -> (adapter, quant variables).
+
+    mixed=True: int8 only where it wins on this hardware (1x1 convs and
+    <=64-ch 3x3), everything else in ``compute_dtype`` (use bf16)."""
+    qmodel = PoseResNetQ(cfg=cfg, mixed=mixed, compute_dtype=compute_dtype)
     folded = fold_pose_resnet(float_variables)
     qvars = make_quant_variables(qmodel, folded, calib_batches[0])
     qvars = calibrate(qmodel, qvars, calib_batches)

@@ -137,3 +137,17 @@ def test_quantized_ap_holds(tmp_path):
     # decoded keypoints within one heatmap cell (4 px) for nearly all joints
     d = np.linalg.norm(np.asarray(preds_f) - np.asarray(preds_q), axis=-1)
     assert (d <= 4.0).mean() > 0.9, (d.mean(), (d <= 4.0).mean())
+
+
+def test_mixed_mode_close_to_float(float_model_and_vars):
+    """Mixed policy (int8 1x1 + stage-1, bf16 elsewhere) stays close."""
+    from flowtrack_tpu.models.quantize import quantize_pose_model
+
+    model, variables, x = float_model_and_vars
+    want = np.asarray(model.apply(variables, jnp.asarray(x), train=False))
+    adapter, qvars = quantize_pose_model(
+        model, variables, CFG, [jnp.asarray(x)], mixed=True,
+        compute_dtype=jnp.bfloat16)
+    got = np.asarray(adapter.apply(qvars, jnp.asarray(x)))
+    corr = np.corrcoef(got.ravel(), want.ravel())[0, 1]
+    assert corr > 0.98, corr
