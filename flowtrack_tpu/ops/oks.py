@@ -90,6 +90,8 @@ def oks_iou_np(g, d, a_g, a_d, sigmas=None, in_vis_thre=None):
     """Numpy twin with the reference's flat-keypoint layout: g is (3K,)
     [x1,y1,v1,...], d is (N, 3K). For host-side eval code + tests."""
     g = np.asarray(g, np.float64)
+    if len(d) == 0:
+        return np.zeros(0)
     d = np.asarray(d, np.float64).reshape(len(d), -1)
     sig = np.asarray(sigmas if sigmas is not None else COCO_SIGMAS)
     var = (sig * 2.0) ** 2

@@ -178,3 +178,23 @@ class TestMPII:
         h0 = ds.db[0]["head_size"]
         stats2 = ds.evaluate(preds + h0 * 2)
         assert stats2["Mean"] == 0.0
+
+
+def test_soft_nms_eval_path(coco_root):
+    """cfg.test.soft_nms=True routes through soft_oks_nms_np and still
+    produces a full AP table."""
+    from dataclasses import replace
+
+    root, _, det = coco_root
+    cfg = replace(CFG, test=replace(CFG.test, use_gt_bbox=True,
+                                    soft_nms=True))
+    ds = COCODataset(cfg, root, "val2017", is_train=False)
+    gt = COCODataset(cfg, root, "val2017", is_train=True)
+    n = len(ds)
+    preds = np.stack([np.asarray(g["joints"]) for g in gt.db])
+    maxvals = np.ones((n, 17), np.float32)
+    scores = np.full((n,), 0.9, np.float32)
+    ids = np.asarray([r["image_id"] for r in ds.db])
+    stats, results = ds.evaluate(preds, maxvals, scores, ids)
+    assert stats["AP"] > 0.95
+    assert len(results) > 0
