@@ -3,6 +3,7 @@ padding invariance, ID stability over a synthetic moving sequence, and the
 mAP/MOTA evaluator on hand-built scenarios."""
 
 import numpy as np
+import pytest
 import jax.numpy as jnp
 
 from flowtrack_tpu.eval.posetrack_eval import evaluate_posetrack, match_frame
@@ -155,3 +156,46 @@ class TestPoseTrackEval:
         matches = match_frame([g], [far, near])
         assert len(matches) == 1
         assert matches[0][1] == 1  # the near one
+
+
+class TestPoseTrackEvalEdges:
+    def test_refound_track_same_id_no_switch(self):
+        """Track disappears a frame then returns with the SAME id: misses
+        accrue but no switch."""
+        rng = np.random.default_rng(3)
+        g = _gt(0, 100, 100, rng=rng)
+        seq_gt = [[g], [g], [g]]
+        seq_pred = [[_pred_from(g, 5)], [], [_pred_from(g, 5)]]
+        out = evaluate_posetrack([seq_gt], [seq_pred])
+        assert out["num_switches"] == 0
+        assert out["num_misses"] == K  # the empty middle frame
+        assert out["MOTA"] == pytest.approx(1.0 - K / (3 * K))
+
+    def test_unlabeled_joints_not_counted(self):
+        rng = np.random.default_rng(4)
+        g = _gt(0, 100, 100, rng=rng)
+        kp = np.asarray(g["keypoints"]).copy()
+        kp[5:, 2] = 0  # only 5 labeled joints
+        g = {**g, "keypoints": kp}
+        p = _pred_from(g, 1)
+        out = evaluate_posetrack([[[g]]], [[[p]]])
+        # per-joint gt counts: joints 5.. have no GT -> AP nan there, Mean
+        # over the 5 labeled joints = 1
+        assert np.isclose(out["mAP"], 1.0)
+        assert out["num_misses"] == 0
+
+    def test_score_ranking_orders_pr_curve(self):
+        """A low-scored TP after a high-scored FP halves AP; swapped
+        scores restore it — the PR curve must follow the score order."""
+        rng = np.random.default_rng(5)
+        g = _gt(0, 100, 100, rng=rng)
+        far = _gt(9, 900, 900, rng=rng)
+        tp_hi = _pred_from(g, 1, score=0.9)
+        fp_lo = _pred_from(far, 2, score=0.1)
+        out_good = evaluate_posetrack([[[g]]], [[[tp_hi, fp_lo]]])
+        assert np.isclose(out_good["mAP"], 1.0)
+
+        tp_lo = _pred_from(g, 1, score=0.1)
+        fp_hi = _pred_from(far, 2, score=0.9)
+        out_bad = evaluate_posetrack([[[g]]], [[[tp_lo, fp_hi]]])
+        assert out_bad["mAP"] < 0.6
