@@ -125,6 +125,15 @@ class TrackConfig:
     max_persons: int = 32          # static pad for ragged persons-per-frame
     pose_score_thre: float = 0.3   # drop low-score candidates before matching
     keyframe_interval: int = 1     # run detector every k frames (1 = every frame)
+    # --- detector-miss recovery in the batched ClipTracker fast path
+    # (SURVEY.md section 4.4 "people missed by the detector are still
+    # found"; the streaming FlowTracker always has it).
+    clip_recover: bool = True      # enable flow-propagated candidate recovery
+    max_recovered: int = 4         # static per-frame recovery candidate slots
+    recover_budget: float = 1.0    # avg recovered pose crops per frame; the
+                                   # clip-wide pose budget is ceil(F * this)
+    max_miss_age: int = 3          # consecutive detector misses a track may
+                                   # bridge via propagation-only boxes
 
 
 @dataclass(frozen=True)

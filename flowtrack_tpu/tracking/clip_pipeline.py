@@ -13,13 +13,33 @@ across the clip:
      assignment, id bookkeeping — entirely on device.
 
 One host->device transfer of the clip in, one device->host transfer of
-(joints, ids, scores) out. The host FlowTracker (tracker.py) remains the
-full-featured streaming path (unified det+propagated box NMS for detector-
-miss recovery); the clip pipeline trades that recovery for wall-clock — the
-candidate set is the detector's, and unmatched tracks do not survive. Both
-share the same matching semantics (greedy_match).
+(joints, ids, scores) out.
 
-Shapes are static: F frames x P persons (padded, masked).
+Detector-miss recovery (SURVEY.md section 4.4: "people missed by the
+detector are still found") runs as a second, budgeted pose pass:
+
+  3a. a cheap ``lax.scan`` over frames (no pose model) greedy-OKS-matches
+      flow-propagated tracks against the detector candidates and emits a
+      flow-propagated box for every unmatched track (up to
+      ``track.max_recovered`` slots/frame, chained through up to
+      ``track.max_miss_age`` consecutive misses);
+  3b. the clip-wide top-``ceil(F * track.recover_budget)`` recovery boxes by
+      track score are gathered into ONE dense crop batch, posed (with flip
+      test), rescored, and scattered back — so the recovery pose cost is a
+      fixed small fraction of the detector-pose cost instead of F x R;
+  4.  the final id scan runs over the UNION candidate set (P detector slots
+      + R recovery slots per frame).
+
+Semantics vs the streaming FlowTracker (tracker.py): the streaming path
+feeds ALL propagated boxes through a score-ordered unified NMS with the
+detections; the clip path emits propagated boxes only for OKS-unmatched
+tracks and suppresses them against overlapping valid detections
+(IoU > track.box_nms_thre, detection wins) — for well-detected persons both
+reduce to the same candidate set, and detector misses are recovered with
+the same propagate->pose->match chain (MOTA-parity tested against the
+streaming tracker on dropout scenarios).
+
+Shapes are static: F frames x (P + max_recovered) persons (padded, masked).
 """
 
 from __future__ import annotations
@@ -34,15 +54,36 @@ from flowtrack_tpu.config import (
     COCO_FLIP_PAIRS,
     IMAGENET_MEAN,
     IMAGENET_STD,
+    PIXEL_STD,
     Config,
 )
 from flowtrack_tpu.models.flownet import postprocess_flow, preprocess_pair
 from flowtrack_tpu.ops.crop import crop_resize_normalize
 from flowtrack_tpu.ops.decode import get_final_preds, rescore
 from flowtrack_tpu.ops.heatmap import merge_flip_test
+from flowtrack_tpu.ops.nms import iou_matrix
 from flowtrack_tpu.ops.oks import oks_matrix, pose_area
 from flowtrack_tpu.pipeline import batched_box_to_center_scale
-from flowtrack_tpu.tracking.tracker import greedy_match, propagate_poses
+from flowtrack_tpu.tracking.tracker import (
+    boxes_from_poses,
+    greedy_match,
+    propagate_poses,
+)
+
+
+def _box_xyxy_to_center_scale(boxes, aspect_ratio: float,
+                              scale_padding: float = 1.25):
+    """jnp twin of pipeline.batched_box_to_center_scale for xyxy boxes
+    (aspect-keeping scale in PIXEL_STD units, 1.25 padding)."""
+    w = jnp.maximum(boxes[:, 2] - boxes[:, 0], 1e-3)
+    h = jnp.maximum(boxes[:, 3] - boxes[:, 1], 1e-3)
+    centers = jnp.stack([boxes[:, 0] + w * 0.5, boxes[:, 1] + h * 0.5],
+                        axis=1)
+    wide = w > aspect_ratio * h
+    h = jnp.where(wide, w / aspect_ratio, h)
+    w = jnp.where(~wide & (w < aspect_ratio * h), h * aspect_ratio, w)
+    scales = jnp.stack([w, h], axis=1) / PIXEL_STD * scale_padding
+    return centers, scales
 
 
 def _assign_ids(assign, cand_valid, track_ids, next_id):
@@ -73,9 +114,114 @@ class ClipTracker:
         flip_test = cfg.test.flip_test
         thr = cfg.track.track_oks_thre
         div_flow = cfg.flow.div_flow
+        tcfg = cfg.track
+        recover = tcfg.clip_recover and tcfg.max_recovered > 0
+        self.num_slots = self.max_persons + (tcfg.max_recovered
+                                             if recover else 0)
+        crop_dtype = jnp.dtype(cfg.model.dtype)
+
+        def pose_on_crops(pose_vars, crops, centers_flat, scales_flat,
+                          det_scores_flat):
+            """crops (N, h, w, 3) -> decoded preds/maxvals/rescored (N, ...)
+            with the fused flip-test double batch."""
+            n = crops.shape[0]
+            if flip_test:
+                both = jnp.concatenate([crops, crops[:, :, ::-1, :]], axis=0)
+                hm = pose_model.apply(pose_vars, both, train=False)
+                hm = merge_flip_test(hm[:n], hm[n:], COCO_FLIP_PAIRS,
+                                     shift=cfg.test.shift_heatmap)
+            else:
+                hm = pose_model.apply(pose_vars, crops, train=False)
+            preds, maxvals = get_final_preds(
+                hm, centers_flat, scales_flat,
+                post_process=cfg.test.post_process)
+            scores = rescore(det_scores_flat, maxvals, cfg.test.in_vis_thre)
+            return preds, maxvals, scores
+
+        def recovery_pass(pose_vars, frames, preds, valid, scores,
+                          det_boxes, flows):
+            """Stages 3a/3b (module docstring): emit flow-propagated boxes
+            for OKS-unmatched tracks, pose the clip-wide top-budget boxes in
+            one dense batch, scatter back to (F, R) candidate slots."""
+            f, p = valid.shape
+            r = tcfg.max_recovered
+            t_slots = p + r
+            budget = min(f * r, max(r, int(np.ceil(f * tcfg.recover_budget))))
+            neg = jnp.asarray(-jnp.inf, jnp.float32)
+
+            def gen_step(carry, xs):
+                tj, tv, ts, ta = carry
+                dj, dv, ds, dbox, flow_t = xs
+                prop = propagate_poses(tj, flow_t)
+                sim = oks_matrix(prop, pose_area(prop), dj, pose_area(dj))
+                assign = greedy_match(sim, thr, tv, dv)          # (p,)
+                row_matched = jnp.any(
+                    (assign[None, :] == jnp.arange(t_slots)[:, None])
+                    & (assign >= 0)[None, :], axis=1)
+                miss = tv & ~row_matched & (ta < tcfg.max_miss_age)
+                top_s, top_i = jax.lax.top_k(jnp.where(miss, ts, neg), r)
+                rec_v = jnp.isfinite(top_s)
+                rec_j = prop[top_i]
+                rec_s = ts[top_i]
+                rec_a = ta[top_i] + 1
+                rec_box = boxes_from_poses(rec_j, tcfg.box_expand)  # xyxy
+                if tcfg.box_nms_thre < 1.0:
+                    # unified suppression, detection wins (module docstring)
+                    iou = iou_matrix(rec_box, dbox)
+                    rec_v &= ~jnp.any((iou > tcfg.box_nms_thre)
+                                      & dv[None, :], axis=1)
+                carry = (jnp.concatenate([dj, rec_j]),
+                         jnp.concatenate([dv, rec_v]),
+                         jnp.concatenate([ds, rec_s]),
+                         jnp.concatenate([jnp.zeros((p,), jnp.int32),
+                                          rec_a]))
+                return carry, (rec_box, rec_v, rec_s)
+
+            k = preds.shape[2]
+            carry0 = (
+                jnp.concatenate([preds[0], jnp.zeros((r, k, 2))]),
+                jnp.concatenate([valid[0], jnp.zeros((r,), bool)]),
+                jnp.concatenate([scores[0], jnp.zeros((r,))]),
+                jnp.zeros((t_slots,), jnp.int32))
+            _, (rec_box, rec_v, rec_s) = jax.lax.scan(
+                gen_step, carry0,
+                (preds[1:], valid[1:], scores[1:], det_boxes[1:], flows))
+            # frame 0 has no previous tracks to recover from
+            rec_box = jnp.concatenate([jnp.zeros((1, r, 4)), rec_box])
+            rec_v = jnp.concatenate([jnp.zeros((1, r), bool), rec_v])
+            rec_s = jnp.concatenate([jnp.zeros((1, r)), rec_s])
+
+            # ---- 3b. clip-wide budgeted selection -> ONE dense pose batch
+            flat_s = jnp.where(rec_v.reshape(-1),
+                               rec_s.reshape(-1).astype(jnp.float32), neg)
+            g_s, g_idx = jax.lax.top_k(flat_s, budget)
+            sel_valid = jnp.isfinite(g_s)
+            sel_box = rec_box.reshape(-1, 4)[g_idx]
+            sel_score = rec_s.reshape(-1)[g_idx]
+            sel_frame = g_idx // r
+            sel_c, sel_sc = _box_xyxy_to_center_scale(sel_box,
+                                                      self.aspect_ratio)
+            crops = jax.vmap(
+                lambda im, c, s: crop_resize_normalize(
+                    im, c[None], s[None], (img_h, img_w), mean, std,
+                    out_dtype=crop_dtype)[0]
+            )(frames[sel_frame], sel_c, sel_sc)          # (G, h, w, 3)
+            preds2, maxvals2, scores2 = pose_on_crops(
+                pose_vars, crops, sel_c, sel_sc, sel_score)
+            valid2 = sel_valid & (scores2 >= tcfg.pose_score_thre)
+
+            # scatter back into the static (F, R) recovery slots
+            rec_preds = jnp.zeros((f * r, k, 2)).at[g_idx].set(preds2)
+            rec_maxvals = jnp.zeros((f * r, k)).at[g_idx].set(maxvals2)
+            rec_scores = jnp.zeros((f * r,)).at[g_idx].set(scores2)
+            rec_valid = jnp.zeros((f * r,), bool).at[g_idx].set(valid2)
+            return (rec_preds.reshape(f, r, k, 2),
+                    rec_maxvals.reshape(f, r, k),
+                    rec_scores.reshape(f, r),
+                    rec_valid.reshape(f, r))
 
         def clip_fn(pose_vars, flow_vars, frames, centers, scales,
-                    det_scores, det_valid):
+                    det_scores, det_valid, det_boxes):
             f, h, w, _ = frames.shape
             p = centers.shape[1]
 
@@ -98,39 +244,50 @@ class ClipTracker:
             flows = postprocess_flow(flow_q, cfg.flow.variant, (h, w),
                                      div_flow)
 
-            # ---- 2. pose on all persons of all frames, one call; crops
-            # emitted in the model compute dtype (bf16) to halve the
+            # ---- 2. pose on all detector persons of all frames, one call;
+            # crops emitted in the model compute dtype (bf16) to halve the
             # crop->conv HBM traffic
-            crop_dtype = jnp.dtype(cfg.model.dtype)
             crops = jax.vmap(
                 lambda im, c, s: crop_resize_normalize(
                     im, c, s, (img_h, img_w), mean, std,
                     out_dtype=crop_dtype)
             )(frames, centers, scales)                       # (F, P, h, w, 3)
-            crops = crops.reshape(f * p, img_h, img_w, 3)
-            if flip_test:
-                both = jnp.concatenate([crops, crops[:, :, ::-1, :]], axis=0)
-                hm = pose_model.apply(pose_vars, both, train=False)
-                hm = merge_flip_test(hm[: f * p], hm[f * p:],
-                                     COCO_FLIP_PAIRS,
-                                     shift=cfg.test.shift_heatmap)
-            else:
-                hm = pose_model.apply(pose_vars, crops, train=False)
-            preds, maxvals = get_final_preds(
-                hm, centers.reshape(f * p, 2), scales.reshape(f * p, 2),
-                post_process=cfg.test.post_process)
+            preds, maxvals, scores = pose_on_crops(
+                pose_vars, crops.reshape(f * p, img_h, img_w, 3),
+                centers.reshape(f * p, 2), scales.reshape(f * p, 2),
+                det_scores.reshape(f * p))
             preds = preds.reshape(f, p, -1, 2)
             maxvals = maxvals.reshape(f, p, -1)
-            scores = rescore(det_scores.reshape(f * p),
-                             maxvals.reshape(f * p, -1),
-                             cfg.test.in_vis_thre).reshape(f, p)
-            valid = det_valid & (scores >= cfg.track.pose_score_thre)
+            scores = scores.reshape(f, p)
+            valid = det_valid & (scores >= tcfg.pose_score_thre)
 
-            # ---- 3. sequential id chain (cheap), lax.scan over frames
+            # ---- 3. detector-miss recovery (second budgeted pose pass)
+            if recover and f > 1:
+                rec_preds, rec_maxvals, rec_scores, rec_valid = \
+                    recovery_pass(pose_vars, frames, preds, valid, scores,
+                                  det_boxes, flows)
+                preds = jnp.concatenate([preds, rec_preds], axis=1)
+                maxvals = jnp.concatenate([maxvals, rec_maxvals], axis=1)
+                scores = jnp.concatenate([scores, rec_scores], axis=1)
+                valid = jnp.concatenate([valid, rec_valid], axis=1)
+            elif recover:  # single-frame clip: keep the static slot count
+                r = tcfg.max_recovered
+                k = preds.shape[2]
+                preds = jnp.concatenate(
+                    [preds, jnp.zeros((f, r, k, 2))], axis=1)
+                maxvals = jnp.concatenate(
+                    [maxvals, jnp.zeros((f, r, k))], axis=1)
+                scores = jnp.concatenate(
+                    [scores, jnp.zeros((f, r))], axis=1)
+                valid = jnp.concatenate(
+                    [valid, jnp.zeros((f, r), bool)], axis=1)
+            t_slots = preds.shape[1]
+
+            # ---- 4. sequential id chain (cheap), lax.scan over frames
             # frame 0 seeds the tracks
             ids0, next_id0 = _assign_ids(
-                jnp.full((p,), -1, jnp.int32), valid[0],
-                jnp.zeros((p,), jnp.int32), jnp.asarray(0, jnp.int32))
+                jnp.full((t_slots,), -1, jnp.int32), valid[0],
+                jnp.zeros((t_slots,), jnp.int32), jnp.asarray(0, jnp.int32))
 
             def step(carry, xs):
                 tj, tvalid, tids, nid = carry
@@ -152,7 +309,7 @@ class ClipTracker:
         # shard it across the mesh and XLA runs one clip per device group
         # (the multi-chip serving layout — SURVEY.md section 6.8)
         self._clips_fn = jax.jit(
-            jax.vmap(clip_fn, in_axes=(None, None, 0, 0, 0, 0, 0)))
+            jax.vmap(clip_fn, in_axes=(None, None, 0, 0, 0, 0, 0, 0)))
         self.pose_vars = pose_vars
         self.flow_vars = flow_vars
 
@@ -164,6 +321,7 @@ class ClipTracker:
         f, p = det_scores.shape
         centers = np.zeros((f, p, 2), np.float32)
         scales = np.full((f, p, 2), 1e-3, np.float32)
+        boxes_xyxy = np.zeros((f, p, 4), np.float32)
         for t in range(f):
             # clamp only w/h (padded zero boxes would give zero scale);
             # x/y may legitimately be negative for off-edge detections
@@ -172,10 +330,13 @@ class ClipTracker:
                  np.maximum(det_boxes[t][:, 2:], 1e-3)], axis=1)
             c, s = batched_box_to_center_scale(boxes_t, self.aspect_ratio)
             centers[t], scales[t] = c, s
+            boxes_xyxy[t] = np.concatenate(
+                [boxes_t[:, :2], boxes_t[:, :2] + boxes_t[:, 2:]], axis=1)
         return (jnp.asarray(frames), jnp.asarray(centers),
                 jnp.asarray(scales),
                 jnp.asarray(det_scores, jnp.float32),
-                jnp.asarray(det_valid, bool))
+                jnp.asarray(det_valid, bool),
+                jnp.asarray(boxes_xyxy))
 
     def run_prepared(self, device_args):
         """Device-side tracking of a prepared clip; returns device arrays."""
@@ -192,7 +353,7 @@ class ClipTracker:
         c = frames.shape[0]
         prepped = [self.prepare(frames[i], det_boxes[i], det_scores[i],
                                 det_valid[i]) for i in range(c)]
-        args = [jnp.stack([p[j] for p in prepped]) for j in range(5)]
+        args = [jnp.stack([p[j] for p in prepped]) for j in range(6)]
         if sharding is not None:
             args = [jax.device_put(a, sharding) for a in args]
         preds, maxvals, scores, ids, valid = self._clips_fn(
@@ -206,9 +367,10 @@ class ClipTracker:
     def track_clip(self, frames: np.ndarray, det_boxes: np.ndarray,
                    det_scores: np.ndarray, det_valid: np.ndarray):
         """frames: (F, H, W, 3); det_boxes: (F, P, 4) xywh (padded);
-        det_scores/det_valid: (F, P). Returns dict of numpy arrays:
-        joints (F, P, K, 2), maxvals (F, P, K), scores (F, P), ids (F, P)
-        (-1 = invalid), valid (F, P)."""
+        det_scores/det_valid: (F, P). Returns dict of numpy arrays over
+        T = P + track.max_recovered candidate slots (the trailing slots are
+        flow-recovered detector misses): joints (F, T, K, 2), maxvals
+        (F, T, K), scores (F, T), ids (F, T) (-1 = invalid), valid (F, T)."""
         preds, maxvals, scores, ids, valid = self.run_prepared(
             self.prepare(frames, det_boxes, det_scores, det_valid))
         ids = np.asarray(ids)

@@ -143,7 +143,8 @@ def track_video_clips(tracker, frames: np.ndarray, det_boxes, det_scores,
         for tt in range(start_t, len(idx)):
             fi = idx[tt]
             poses = []
-            for p in range(max_persons):
+            # candidate slots = detector slots + flow-recovery slots
+            for p in range(out["valid"].shape[1]):
                 if not out["valid"][tt, p]:
                     continue
                 poses.append({

@@ -21,10 +21,13 @@ VEL = np.array([6.0, 3.0], np.float32)
 IMG_HW = (64, 64)
 HM_HW = (16, 16)
 # fixed joint offsets in crop-fraction units (a spread "star" so OKS has a
-# meaningful area normalizer)
+# meaningful area normalizer). Spread 0.3 keeps the pose bbox close to the
+# person box (pose-derived propagated boxes then stay NMS-comparable to
+# detections, as with real poses — the 1.25 crop padding and 1.15 box
+# expansion roughly cancel the bbox-of-joints shrinkage).
 OFFS = np.stack([np.cos(np.linspace(0, 2 * np.pi, K, endpoint=False)),
                  np.sin(np.linspace(0, 2 * np.pi, K, endpoint=False))],
-                axis=1) * 0.25 + 0.5  # in [0, 1] crop coords
+                axis=1) * 0.3 + 0.5  # in [0, 1] crop coords
 
 
 class StubPose:
@@ -139,12 +142,151 @@ def test_sharded_clips_match_sequential():
 
     out = tracker.track_clips(frames, boxes, scores, valid,
                               sharding=batch_sharding(mesh))
-    assert out["ids"].shape == (c, f, cfg.track.max_persons)
+    assert out["ids"].shape == (c, f, tracker.num_slots)
     for i in range(c):
         want = tracker.track_clip(frames[i], boxes[i], scores[i], valid[i])
         np.testing.assert_array_equal(out["ids"][i], want["ids"])
         np.testing.assert_allclose(out["joints"][i], want["joints"],
                                    atol=1e-4)
+
+
+def _dropout_scenario(f=6, drop_frame=3):
+    """Persons A and B move with VEL; B's detection is dropped at
+    ``drop_frame``. Returns (frames, boxes, scores, gt_centers)."""
+    frames = np.zeros((f, 128, 160, 3), np.float32)
+    boxes, scores, gt_centers = [], [], []
+    for t in range(f):
+        ax, ay = 40 + VEL[0] * t, 50 + VEL[1] * t
+        bx, by = 90 + VEL[0] * t, 60 + VEL[1] * t
+        gt_centers.append([(ax, ay), (bx, by)])
+        bs, sc = [[ax - 15, ay - 15, 30, 30]], [0.9]
+        if t != drop_frame:
+            bs.append([bx - 15, by - 15, 30, 30])
+            sc.append(0.8)
+        boxes.append(bs)
+        scores.append(sc)
+    return frames, boxes, scores, gt_centers
+
+
+def test_clip_detector_miss_recovered():
+    """A detection dropped mid-clip is recovered by the budgeted second
+    pose pass on the flow-propagated box, keeping the SAME track id
+    (VERDICT round-1 item 1; SURVEY.md section 4.4)."""
+    cfg = make_cfg()
+    assert cfg.track.clip_recover
+    tracker = ClipTracker(cfg, StubPose(), {}, StubFlow(), {})
+    frames, boxes, scores, gt_centers = _dropout_scenario()
+    db, dsc, dv = pad_detections(boxes, scores, cfg.track.max_persons)
+    out = tracker.track_clip(frames, db, dsc, dv)
+    ids, valid = out["ids"], out["valid"]
+    p = cfg.track.max_persons
+    assert ids.shape[1] == p + cfg.track.max_recovered
+
+    b_id = ids[0, 1]
+    assert (ids[:3, 1] == b_id).all(), ids[:, 1]
+    # frame 3: no det slot for B, exactly one recovery slot carries B's id
+    assert not valid[3, 1]
+    rec_ids = ids[3, p:]
+    assert (rec_ids == b_id).sum() == 1, (ids[3], valid[3])
+    slot = p + int(np.argmax(rec_ids == b_id))
+    assert valid[3, slot]
+    c = out["joints"][3, slot].mean(axis=0)
+    np.testing.assert_allclose(c, gt_centers[3][1], atol=4.0)
+    # B redetected afterwards: id continues in the det slot
+    assert (ids[4:, 1] == b_id).all(), ids[:, 1]
+    # A never disturbed; no recovery slots ever used for A's frames
+    assert (ids[:, 0] == ids[0, 0]).all()
+    assert not valid[np.arange(6) != 3][:, p:].any()
+
+
+def test_clip_recovery_mota_parity_with_streaming():
+    """On the synthetic dropout scenario the clip path must score the same
+    perfect MOTA/zero switches as the streaming FlowTracker (VERDICT
+    round-1 'done' criterion)."""
+    from flowtrack_tpu.eval.posetrack_eval import evaluate_posetrack
+    from flowtrack_tpu.pipeline import PosePredictor
+    from flowtrack_tpu.tracking import FlowTracker
+
+    cfg = make_cfg()
+    frames, boxes, scores, _ = _dropout_scenario()
+    f = len(frames)
+
+    # GT = the no-dropout clip run's detector-slot poses
+    full_boxes = [list(b) for b in boxes]
+    full_scores = [list(s) for s in scores]
+    full_boxes[3].append([90 + VEL[0] * 3 - 15, 60 + VEL[1] * 3 - 15,
+                          30, 30])
+    full_scores[3].append(0.8)
+    tracker = ClipTracker(cfg, StubPose(), {}, StubFlow(), {})
+    db, dsc, dv = pad_detections(full_boxes, full_scores,
+                                 cfg.track.max_persons)
+    ref = tracker.track_clip(frames, db, dsc, dv)
+    gt_seq = []
+    for t in range(f):
+        gt_seq.append([
+            {"track_id": pid,
+             "keypoints": np.concatenate(
+                 [ref["joints"][t, pid], np.ones((K, 1))], axis=1),
+             "head_size": 20.0}
+            for pid in range(2)])
+
+    def to_pred_seq(out):
+        seq = []
+        for t in range(f):
+            items = []
+            for s in range(out["valid"].shape[1]):
+                if not out["valid"][t, s]:
+                    continue
+                items.append({
+                    "track_id": int(out["ids"][t, s]),
+                    "keypoints": np.concatenate(
+                        [out["joints"][t, s],
+                         out["maxvals"][t, s][:, None]], axis=1),
+                    "score": float(out["scores"][t, s])})
+            seq.append(items)
+        return seq
+
+    # clip path on the dropout scenario
+    db, dsc, dv = pad_detections(boxes, scores, cfg.track.max_persons)
+    clip_out = tracker.track_clip(frames, db, dsc, dv)
+    clip_eval = evaluate_posetrack([gt_seq], [to_pred_seq(clip_out)])
+
+    # streaming path, same models
+    def flow_fn(prev_image, image):
+        h, w = image.shape[:2]
+        fl = np.zeros((h, w, 2), np.float32)
+        fl[..., 0], fl[..., 1] = VEL[0], VEL[1]
+        return fl
+
+    stream = FlowTracker(cfg=cfg, pose_fn=PosePredictor(
+        cfg, {}, model=StubPose()), flow_fn=flow_fn)
+    per_frame = stream.track_sequence(
+        frames, [(np.asarray(b, np.float32), np.asarray(s, np.float32))
+                 for b, s in zip(boxes, scores)])
+    stream_seq = []
+    for tracks in per_frame:
+        stream_seq.append([
+            {"track_id": tr.track_id,
+             "keypoints": np.concatenate(
+                 [tr.joints, tr.maxvals[:, None]], axis=1),
+             "score": tr.score}
+            for tr in tracks])
+    stream_eval = evaluate_posetrack([gt_seq], [stream_seq])
+
+    assert np.isclose(stream_eval["MOTA"], 1.0), stream_eval
+    assert np.isclose(clip_eval["MOTA"], stream_eval["MOTA"]), (
+        clip_eval, stream_eval)
+    assert clip_eval["num_switches"] == stream_eval["num_switches"] == 0
+
+
+def test_clip_recover_off_keeps_det_slots_only():
+    cfg = make_cfg()
+    cfg = replace(cfg, track=replace(cfg.track, clip_recover=False))
+    tracker = ClipTracker(cfg, StubPose(), {}, StubFlow(), {})
+    frames, boxes, scores, _ = _dropout_scenario(f=4)
+    db, dsc, dv = pad_detections(boxes, scores, cfg.track.max_persons)
+    out = tracker.track_clip(frames, db, dsc, dv)
+    assert out["ids"].shape == (4, cfg.track.max_persons)
 
 
 def test_pad_detections():
