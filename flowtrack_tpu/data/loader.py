@@ -73,10 +73,15 @@ class BatchLoader:
         sentinel = object()
 
         def producer():
+            # a failing __getitem__/collate must surface in the consumer,
+            # not silently truncate the epoch (advisor finding): ship the
+            # exception through the queue and re-raise it from __iter__
             with ThreadPoolExecutor(self.num_workers) as pool:
                 try:
                     for chunk in self._batch_indices():
                         q.put(self._make_batch(pool, chunk))
+                except BaseException as e:  # noqa: BLE001 - relayed below
+                    q.put(e)
                 finally:
                     q.put(sentinel)
 
@@ -86,6 +91,9 @@ class BatchLoader:
             item = q.get()
             if item is sentinel:
                 break
+            if isinstance(item, BaseException):
+                t.join()
+                raise item
             yield item
         t.join()
 

@@ -9,6 +9,7 @@ implementations in ops/nms.py are the fallback and the test oracle.
 from __future__ import annotations
 
 import ctypes
+import hashlib
 import logging
 import os
 import subprocess
@@ -20,17 +21,25 @@ log = logging.getLogger("flowtrack.native")
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
 _SRC = os.path.join(_HERE, "nms.cc")
-_LIB_PATH = os.path.join(_HERE, "_libnms.so")
 _lib: Optional[ctypes.CDLL] = None
 _build_failed = False
 
 
-def _build() -> Optional[str]:
+def _lib_path() -> str:
+    """Cache path keyed by the source hash: a cached .so is only reused if
+    it was built from the CURRENT nms.cc (no binaries are checked into git;
+    a stale or foreign blob can never be silently dlopen'd)."""
+    with open(_SRC, "rb") as f:
+        digest = hashlib.sha256(f.read()).hexdigest()[:12]
+    return os.path.join(_HERE, f"_libnms_{digest}.so")
+
+
+def _build(path: str) -> Optional[str]:
     cmd = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", _SRC,
-           "-o", _LIB_PATH]
+           "-o", path]
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=120)
-        return _LIB_PATH
+        return path
     except Exception as e:  # pragma: no cover - depends on toolchain
         log.warning("native nms build failed (%s); using numpy fallback", e)
         return None
@@ -40,7 +49,8 @@ def _load() -> Optional[ctypes.CDLL]:
     global _lib, _build_failed
     if _lib is not None or _build_failed:
         return _lib
-    path = _LIB_PATH if os.path.exists(_LIB_PATH) else _build()
+    want = _lib_path()
+    path = want if os.path.exists(want) else _build(want)
     if path is None:
         _build_failed = True
         return None
@@ -48,7 +58,7 @@ def _load() -> Optional[ctypes.CDLL]:
         lib = ctypes.CDLL(path)
     except OSError:  # stale binary for another arch: rebuild once
         os.unlink(path)
-        path = _build()
+        path = _build(want)
         if path is None:
             _build_failed = True
             return None

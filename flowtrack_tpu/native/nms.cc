@@ -83,16 +83,14 @@ int cpu_oks_nms(const float* kpts, const float* scores, const float* areas,
       int j = order[oj];
       if (suppressed[j]) continue;
       const float* d = kpts + 3 * k * j;
-      double norm = (areas[i] + areas[j]) / 2.0 + 1.0;
+      // np.spacing(1): the lineage's epsilon (guards exact zero area only)
+      double norm = (areas[i] + areas[j]) / 2.0 + 2.220446049250313e-16;
       double sum = 0.0;
       int cnt = 0;
-      bool any_vis = false;
-      if (use_vis_thre) {
-        for (int q = 0; q < k; ++q)
-          if (g[3 * q + 2] > in_vis_thre) { any_vis = true; break; }
-      }
       for (int q = 0; q < k; ++q) {
-        if (use_vis_thre && any_vis && g[3 * q + 2] <= in_vis_thre) continue;
+        // lineage quirk: `list(vg>t) and list(vd>t)` == the vd list, so the
+        // filter is by the CANDIDATE's visibility, no fallback (ops/oks.py)
+        if (use_vis_thre && d[3 * q + 2] <= in_vis_thre) continue;
         double dx = d[3 * q] - g[3 * q];
         double dy = d[3 * q + 1] - g[3 * q + 1];
         double e = (dx * dx + dy * dy) / vars[q] / norm / 2.0;

@@ -17,7 +17,7 @@ lineage: utils/transforms.py — exact file unverifiable, mount empty):
 TPU-native design: the matrix math has both a numpy path (host, data
 pipeline) and a vmappable jnp path (device, tracker hot loop); the warp is a
 batched XLA gather (``warp_affine``) that jits and fuses with the normalize.
-A fused Pallas crop kernel lives in ops/crop_pallas.py.
+The fused crop kernels (XLA einsum + Pallas) live in ops/crop.py.
 """
 
 from __future__ import annotations

@@ -48,8 +48,10 @@ def generate_target_jax(joints, joints_vis, heatmap_hw, image_hw, sigma):
     mu_y = jnp.trunc(joints[:, 1] / stride_y + 0.5)
 
     # reference drops the joint if the truncated box misses the map entirely
+    # reference checks br < 0 STRICTLY: a box exactly abutting the edge
+    # (br == 0) keeps weight 1 with an empty pasted patch (advisor finding)
     outside = ((mu_x - tmp_size >= hm_w) | (mu_y - tmp_size >= hm_h)
-               | (mu_x + tmp_size + 1 <= 0) | (mu_y + tmp_size + 1 <= 0))
+               | (mu_x + tmp_size + 1 < 0) | (mu_y + tmp_size + 1 < 0))
     weight = vis * (1.0 - outside.astype(jnp.float32))
 
     ys = jax.lax.broadcasted_iota(jnp.float32, (hm_h, hm_w), 0)
@@ -82,8 +84,10 @@ def generate_target_np(joints, joints_vis, heatmap_hw, image_hw, sigma):
 
     mu_x = np.trunc(joints[:, 0] / stride_x + 0.5)
     mu_y = np.trunc(joints[:, 1] / stride_y + 0.5)
+    # reference checks br < 0 STRICTLY: a box exactly abutting the edge
+    # (br == 0) keeps weight 1 with an empty pasted patch (advisor finding)
     outside = ((mu_x - tmp_size >= hm_w) | (mu_y - tmp_size >= hm_h)
-               | (mu_x + tmp_size + 1 <= 0) | (mu_y + tmp_size + 1 <= 0))
+               | (mu_x + tmp_size + 1 < 0) | (mu_y + tmp_size + 1 < 0))
     weight = vis * (1.0 - outside.astype(np.float32))
 
     ys = np.arange(hm_h, dtype=np.float32)[:, None]

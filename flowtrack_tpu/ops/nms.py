@@ -88,7 +88,7 @@ def oks_nms(kpts_xy, scores, areas, thresh, valid=None, sigmas=None,
     kpts_xy: (N, K, 2); scores: (N,); areas: (N,) -> (N,) keep mask.
     """
     sim = oks_matrix(kpts_xy, areas, kpts_xy, areas, sigmas=sigmas,
-                     a_conf=conf, vis_thre=in_vis_thre)
+                     b_conf=conf, vis_thre=in_vis_thre)
     return greedy_nms_from_matrix(sim, scores, thresh, valid)
 
 

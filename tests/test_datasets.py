@@ -120,6 +120,25 @@ class TestBatchLoader:
         loader = BatchLoader(ds, batch_size=3, drop_last=True)
         assert len(list(loader)) == 2
 
+    def test_getitem_error_propagates(self):
+        """A failing __getitem__ must raise in the consumer, not silently
+        truncate the epoch (round-1 advisor finding)."""
+
+        class Boom:
+            def __len__(self):
+                return 6
+
+            def __getitem__(self, i):
+                if i >= 3:
+                    raise ValueError("corrupt item")
+                return {"input": np.zeros((4, 4, 3), np.float32)}
+
+        loader = BatchLoader(Boom(), batch_size=3, num_workers=2)
+        it = iter(loader)
+        assert next(it)["input"].shape[0] == 3  # first batch is fine
+        with pytest.raises(ValueError, match="corrupt item"):
+            list(it)
+
 
 class TestPoseTrack:
     def test_sequences_and_annotations(self, posetrack_root):

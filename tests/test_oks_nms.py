@@ -43,17 +43,21 @@ def test_oks_identical_poses_is_one(rng):
 
 
 def test_oks_one_to_many_vis_threshold(rng):
+    """The lineage's quirk filters by the CANDIDATE's visibility (vd), not
+    the kept pose's (see ops/oks.py module docstring)."""
     g = _rand_poses(rng, 1)[0]
     d = _rand_poses(rng, 5)
-    vis = np.zeros(17); vis[:5] = 1.0
-    out = np.asarray(oks_one_to_many(jnp.asarray(g), jnp.asarray(vis), 2000.0,
-                                     jnp.asarray(d), jnp.full(5, 2000.0),
-                                     in_vis_thre=0.5))
+    d_vis = (rng.uniform(size=(5, 17)) > 0.4).astype(np.float64)
+    d_vis[3] = 0.0  # one candidate with no visible joints -> OKS must be 0
+    out = np.asarray(oks_one_to_many(jnp.asarray(g), jnp.asarray(d_vis),
+                                     2000.0, jnp.asarray(d),
+                                     jnp.full(5, 2000.0), in_vis_thre=0.5))
     gflat = np.zeros(51)
-    gflat[0::3], gflat[1::3], gflat[2::3] = g[:, 0], g[:, 1], vis
-    dflat = np.concatenate([d, np.zeros((5, 17, 1))], -1).reshape(5, -1)
+    gflat[0::3], gflat[1::3], gflat[2::3] = g[:, 0], g[:, 1], 1.0
+    dflat = np.concatenate([d, d_vis[..., None]], -1).reshape(5, -1)
     ref = oks_iou_np(gflat, dflat, 2000.0, np.full(5, 2000.0), in_vis_thre=0.5)
     np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-5)
+    assert out[3] == 0.0
 
 
 def test_bbox_nms_matches_oracle(rng):
