@@ -92,9 +92,9 @@ class RefinementTrunk(nn.Module):
 
 
 class FlowNetSTorch(nn.Module):
-    def __init__(self):
+    def __init__(self, in_ch=6):
         super().__init__()
-        self.conv1 = conv(6, 64, 7, 2)
+        self.conv1 = conv(in_ch, 64, 7, 2)
         self.conv2 = conv(64, 128, 5, 2)
         self.conv3 = conv(128, 256, 5, 2)
         self.conv3_1 = conv(256, 256)
@@ -209,6 +209,116 @@ class FlowNetSDTorch(nn.Module):
         out_deconv2 = self.deconv2(concat3)
         concat2 = torch.cat([out_conv2, out_deconv2, flow3_up], 1)
         return self.predict_flow2(self.inter_conv2(concat2))
+
+
+class FlowNetFusionTorch(nn.Module):
+    """FlowNet2 fusion net oracle (11-ch input, full-res 2-ch flow out)."""
+
+    def __init__(self):
+        super().__init__()
+        self.conv0 = conv(11, 64)
+        self.conv1 = conv(64, 64, 3, 2)
+        self.conv1_1 = conv(64, 128)
+        self.conv2 = conv(128, 128, 3, 2)
+        self.conv2_1 = conv(128, 128)
+        self.predict_flow2 = predict_flow(128)
+        self.upsampled_flow2_to_1 = upflow()
+        self.deconv1 = deconv(128, 32)
+        self.inter_conv1 = i_conv(162, 32)
+        self.predict_flow1 = predict_flow(32)
+        self.upsampled_flow1_to_0 = upflow()
+        self.deconv0 = deconv(162, 16)
+        self.inter_conv0 = i_conv(82, 16)
+        self.predict_flow0 = predict_flow(16)
+
+    def forward(self, x):
+        out_conv0 = self.conv0(x)
+        out_conv1 = self.conv1_1(self.conv1(out_conv0))
+        out_conv2 = self.conv2_1(self.conv2(out_conv1))
+        flow2 = self.predict_flow2(out_conv2)
+        flow2_up = self.upsampled_flow2_to_1(flow2)
+        out_deconv1 = self.deconv1(out_conv2)
+        concat1 = torch.cat([out_conv1, out_deconv1, flow2_up], 1)
+        flow1 = self.predict_flow1(self.inter_conv1(concat1))
+        flow1_up = self.upsampled_flow1_to_0(flow1)
+        out_deconv0 = self.deconv0(concat1)
+        concat0 = torch.cat([out_conv0, out_deconv0, flow1_up], 1)
+        return self.predict_flow0(self.inter_conv0(concat0))
+
+
+def resample2d_torch(img, flow):
+    """Bilinear warp twin of ops/warp.resample2d: sample img (N, C, H, W) at
+    (x + u, y + v), sample coords clamped to the valid range (the CUDA
+    kernel's edge-clamp contract)."""
+    n, c, h, w = img.shape
+    ys, xs = torch.meshgrid(torch.arange(h, dtype=torch.float32),
+                            torch.arange(w, dtype=torch.float32),
+                            indexing="ij")
+    sx = (xs.unsqueeze(0) + flow[:, 0]).clamp(0.0, w - 1.0)
+    sy = (ys.unsqueeze(0) + flow[:, 1]).clamp(0.0, h - 1.0)
+    x0 = sx.floor()
+    y0 = sy.floor()
+    wx = (sx - x0).unsqueeze(1)
+    wy = (sy - y0).unsqueeze(1)
+    x0i = x0.long()
+    y0i = y0.long()
+    x1i = (x0i + 1).clamp(max=w - 1)
+    y1i = (y0i + 1).clamp(max=h - 1)
+
+    def gather(yi, xi):
+        idx = (yi * w + xi).view(n, 1, -1).expand(n, c, h * w)
+        return img.reshape(n, c, -1).gather(2, idx).view(n, c, h, w)
+
+    top = gather(y0i, x0i) * (1 - wx) + gather(y0i, x1i) * wx
+    bot = gather(y1i, x0i) * (1 - wx) + gather(y1i, x1i) * wx
+    return top * (1 - wy) + bot * wy
+
+
+def channelnorm_torch(x):
+    return torch.sqrt((x * x).sum(1, keepdim=True))
+
+
+def upsample4_torch(x):
+    return F.interpolate(x, scale_factor=4, mode="bilinear",
+                         align_corners=False)
+
+
+class FlowNet2Torch(nn.Module):
+    """Full cascade oracle: C -> warp/brightness-err -> S1 -> S2 || SD ->
+    Fusion, with the div_flow conventions of models/flownet.FlowNet2
+    (the FlowNet2 paper's stacking recipe, arXiv:1612.01925 section 3)."""
+
+    def __init__(self, div_flow=20.0, md=20, s2=2):
+        super().__init__()
+        self.div_flow = div_flow
+        self.flownetc = FlowNetCTorch(md=md, s2=s2)
+        self.flownets_1 = FlowNetSTorch(in_ch=12)
+        self.flownets_2 = FlowNetSTorch(in_ch=12)
+        self.flownets_d = FlowNetSDTorch()
+        self.flownetfusion = FlowNetFusionTorch()
+
+    def forward(self, x):
+        img1, img2 = x[:, :3], x[:, 3:]
+        flow_c = upsample4_torch(self.flownetc(x) * self.div_flow)
+
+        def stage_input(flow_full):
+            warped = resample2d_torch(img2, flow_full)
+            err = channelnorm_torch(img1 - warped)
+            return torch.cat([x, warped, flow_full / self.div_flow, err], 1)
+
+        flow_s1 = upsample4_torch(
+            self.flownets_1(stage_input(flow_c)) * self.div_flow)
+        flow_s2 = upsample4_torch(
+            self.flownets_2(stage_input(flow_s1)) * self.div_flow)
+        flow_sd = upsample4_torch(self.flownets_d(x) / self.div_flow)
+
+        norm_sd = channelnorm_torch(flow_sd)
+        norm_s2 = channelnorm_torch(flow_s2)
+        err_sd = channelnorm_torch(img1 - resample2d_torch(img2, flow_sd))
+        err_s2 = channelnorm_torch(img1 - resample2d_torch(img2, flow_s2))
+        fuse = torch.cat([img1, flow_sd, flow_s2, norm_sd, norm_s2,
+                          err_sd, err_s2], 1)
+        return self.flownetfusion(fuse)
 
 
 def random_net(cls, seed=0, **kw):

@@ -1,18 +1,26 @@
-"""FlowNet2 cascade: structure smoke + converter coverage for the stack.
+"""FlowNet2 cascade: full-stack numerical golden vs a from-scratch torch
+oracle (random weights converted with convert_flownet2), plus structure and
+converter name-map coverage.
 
-No released weights exist on this machine, so this pins shapes, wiring
-(warp/channelnorm glue between stages) and the flownet2 name map — parity
-per sub-net is pinned by test_flownet_parity.py.
+The stacked oracle (tests/oracles/flownet_torch.FlowNet2Torch) implements
+the same paper recipe (arXiv:1612.01925 section 3) independently in torch —
+C -> warp -> brightness-error -> S1 -> S2 || SD -> Fusion with the div_flow
+rescales between stages — so the end-to-end parity test pins exactly the
+inter-stage conventions the round-1 VERDICT flagged as numerically unpinned
+(12-ch stage inputs, x4 bilinear upsamples, warp clamp semantics, fusion
+input ordering). Absolute-accuracy validation still needs released weights.
 """
 
 import numpy as np
 import pytest
+import torch
 import jax
 import jax.numpy as jnp
 
 from flowtrack_tpu.models.flownet import FlowNet2, FlowNetFusion, \
     preprocess_pair
-from flowtrack_tpu.utils.torch_convert import convert_flownet2
+from flowtrack_tpu.utils.torch_convert import convert_flownet2, \
+    state_dict_to_numpy
 
 
 @pytest.mark.slow
@@ -28,6 +36,42 @@ def test_flownet2_forward_shapes(rng):
     subs = set(variables["params"].keys())
     assert subs == {"flownetc", "flownets_1", "flownets_2", "flownets_d",
                     "flownetfusion"}
+
+
+@pytest.mark.slow
+def test_flownet2_full_cascade_golden(rng):
+    """End-to-end numerical parity of the FULL cascade at fp32 (VERDICT
+    round-1 item 2): random torch FlowNet2 -> convert_flownet2 -> flax
+    FlowNet2 must reproduce the final fused flow, which transitively pins
+    every inter-stage div_flow/warp/concat convention."""
+    from tests.oracles.flownet_torch import FlowNet2Torch, random_net
+
+    oracle = random_net(FlowNet2Torch, seed=7)
+    x = rng.normal(0, 0.3, (1, 64, 64, 6)).astype(np.float32)
+    with torch.no_grad():
+        ref = oracle(torch.from_numpy(x).permute(0, 3, 1, 2)) \
+            .permute(0, 2, 3, 1).numpy()
+
+    variables = jax.tree.map(
+        jnp.asarray, convert_flownet2(state_dict_to_numpy(
+            oracle.state_dict())))
+    model = FlowNet2(dtype=jnp.float32)
+    # converted tree must match the init tree structurally
+    init_vars = jax.jit(model.init, static_argnames="train")(
+        jax.random.PRNGKey(0), jnp.asarray(x), train=False)
+    got = {jax.tree_util.keystr(k): v.shape for k, v in
+           jax.tree_util.tree_flatten_with_path(variables)[0]}
+    want = {jax.tree_util.keystr(k): v.shape for k, v in
+            jax.tree_util.tree_flatten_with_path(init_vars)[0]}
+    assert got == want, (
+        f"missing: {sorted(set(want) - set(got))[:5]} "
+        f"extra: {sorted(set(got) - set(want))[:5]}")
+
+    out = np.asarray(jax.jit(
+        lambda v, x: model.apply(v, x, train=False))(variables,
+                                                     jnp.asarray(x)))
+    assert out.shape == ref.shape
+    np.testing.assert_allclose(out, ref, atol=2e-3, rtol=1e-3)
 
 
 def test_fusion_forward_shapes(rng):
