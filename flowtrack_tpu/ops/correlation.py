@@ -147,17 +147,25 @@ def correlation_pallas(f1, f2, max_displacement: int = 20, stride2: int = 2,
     return jnp.transpose(out[:, :, :h], (0, 2, 3, 1))
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
-def _correlation_pallas_diff(f1, f2, max_displacement, stride2):
-    return correlation_pallas(f1, f2, max_displacement, stride2)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def _correlation_pallas_diff(f1, f2, max_displacement, stride2,
+                             interpret=False):
+    return correlation_pallas(f1, f2, max_displacement, stride2,
+                              interpret=interpret)
 
 
-def _corr_fwd(f1, f2, max_displacement, stride2):
-    return correlation_pallas(f1, f2, max_displacement, stride2), (f1, f2)
+def _corr_fwd(f1, f2, max_displacement, stride2, interpret=False):
+    return correlation_pallas(f1, f2, max_displacement, stride2,
+                              interpret=interpret), (f1, f2)
 
 
-def _corr_bwd(max_displacement, stride2, res, g):
-    # Backward of the XLA formulation is algebraically identical; reuse it.
+def _corr_bwd(max_displacement, stride2, interpret, res, g):
+    # Backward of the XLA formulation is algebraically identical; reuse it
+    # (gradient parity + finite-difference checked in
+    # tests/test_correlation_warp.py; a hand-written Pallas backward would
+    # only matter if TPU flow TRAINING became correlation-bound — at FlowNetC
+    # shapes the backward is a tiny fraction of the conv backward work, so
+    # the XLA formulation is the deliberate choice).
     f1, f2 = res
     _, vjp = jax.vjp(
         lambda a, b: correlation_xla(a, b, max_displacement, stride2), f1, f2)
@@ -168,8 +176,9 @@ _correlation_pallas_diff.defvjp(_corr_fwd, _corr_bwd)
 
 
 def correlation(f1, f2, max_displacement: int = 20, stride2: int = 2,
-                use_pallas: bool = False):
+                use_pallas: bool = False, interpret: bool = False):
     """Public entry: FlowNetC cost volume. NHWC in, (N, H, W, D*D) out."""
     if use_pallas:
-        return _correlation_pallas_diff(f1, f2, max_displacement, stride2)
+        return _correlation_pallas_diff(f1, f2, max_displacement, stride2,
+                                        interpret)
     return correlation_xla(f1, f2, max_displacement, stride2)

@@ -58,6 +58,59 @@ class TestCorrelation:
         assert got.shape == (1, 10, 12, 441)
         np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
 
+    def test_pallas_grad_matches_xla(self, rng):
+        """The custom VJP of the Pallas path (backward = XLA formulation,
+        ops/correlation.py _corr_bwd) must produce the same cotangents as
+        differentiating correlation_xla directly (VERDICT round-1 item 4)."""
+        import jax
+        import jax.numpy as jnp
+
+        from flowtrack_tpu.ops.correlation import _correlation_pallas_diff
+
+        f1 = rng.normal(size=(1, 8, 10, 8)).astype(np.float32)
+        f2 = rng.normal(size=(1, 8, 10, 8)).astype(np.float32)
+        g = rng.normal(size=(1, 8, 10, 25)).astype(np.float32)
+
+        def loss_pallas(a, b):
+            return jnp.sum(_correlation_pallas_diff(a, b, 4, 2, True) * g)
+
+        def loss_xla(a, b):
+            return jnp.sum(correlation_xla(a, b, 4, 2) * g)
+
+        gp1, gp2 = jax.grad(loss_pallas, (0, 1))(f1, f2)
+        gx1, gx2 = jax.grad(loss_xla, (0, 1))(f1, f2)
+        assert np.isfinite(np.asarray(gp1)).all()
+        assert np.isfinite(np.asarray(gp2)).all()
+        np.testing.assert_allclose(np.asarray(gp1), np.asarray(gx1),
+                                   rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(gp2), np.asarray(gx2),
+                                   rtol=1e-5, atol=1e-5)
+
+    def test_pallas_grad_finite_difference(self, rng):
+        """Directional finite-difference check of the custom VJP."""
+        import jax
+        import jax.numpy as jnp
+
+        from flowtrack_tpu.ops.correlation import _correlation_pallas_diff
+
+        f1 = rng.normal(size=(1, 6, 7, 4)).astype(np.float64)
+        f2 = rng.normal(size=(1, 6, 7, 4)).astype(np.float64)
+        d1 = rng.normal(size=f1.shape)
+        d2 = rng.normal(size=f2.shape)
+
+        def loss(a, b):
+            out = _correlation_pallas_diff(
+                a.astype(jnp.float32), b.astype(jnp.float32), 2, 2, True)
+            return jnp.sum(jnp.sin(out))
+
+        g1, g2 = jax.grad(loss, (0, 1))(jnp.asarray(f1), jnp.asarray(f2))
+        want = float(np.sum(np.asarray(g1) * d1) + np.sum(np.asarray(g2) * d2))
+        eps = 1e-4
+        lp = float(loss(jnp.asarray(f1 + eps * d1), jnp.asarray(f2 + eps * d2)))
+        lm = float(loss(jnp.asarray(f1 - eps * d1), jnp.asarray(f2 - eps * d2)))
+        fd = (lp - lm) / (2 * eps)
+        np.testing.assert_allclose(want, fd, rtol=5e-3)
+
     def test_self_correlation_center_channel(self, rng):
         # zero displacement channel of corr(f, f) == mean(f^2) over C
         f = rng.normal(size=(1, 8, 8, 16)).astype(np.float32)
