@@ -1,21 +1,37 @@
 """PoseTrack evaluation: per-joint mAP + CLEAR-MOT MOTA.
 
-poseval is not installed (SURVEY.md section 8), so the PoseTrack protocol is
-re-implemented from its published definition (PoseTrack benchmark /
-CLEAR-MOT, Bernardin & Stiefelhagen 2008):
+poseval is not installed and the reference mount is empty (SURVEY.md
+section 8), so the PoseTrack protocol is re-implemented from its published
+definition (PoseTrack benchmark, arXiv:1710.10000; MPII multi-person eval;
+CLEAR-MOT, Bernardin & Stiefelhagen 2008). Protocol-choice provenance
+(round-1 VERDICT item 5) — each line states EXACT (algorithm published /
+pinned by a worked-example test) vs APPROXIMATED (poseval's precise code
+unavailable to diff against):
 
-  * Pose-level matching per frame: greedy assignment maximizing PCKh
-    correspondence — a predicted joint "hits" a GT joint when their distance
-    is <= 0.5 * GT head size.
-  * mAP: per-joint AP over all frames; predicted joints carry their pose
-    score; PR curve by descending score, all-point interpolation.
-  * MOTA per joint: 1 - (misses + false positives + ID switches) / #GT,
-    where an ID switch is a GT track whose matched predicted track id
-    changes between consecutive matched frames.
+  * Joint hit criterion — EXACT: predicted joint hits a labeled GT joint
+    when dist <= 0.5 * GT head size (PCKh@0.5).
+  * Pose-level matching per frame — EXACT metric, greedy order
+    APPROXIMATED: similarity = PCKh fraction (hit count / #labeled GT
+    joints, poseval's pck normalization); assignment takes the global max
+    repeatedly (poseval resolves prediction-to-GT conflicts by highest pck
+    too; orderings can differ only on exact ties).
+  * Per-joint AP — EXACT: each matched prediction contributes its
+    PER-KEYPOINT confidence (not the pose score) to that joint's PR curve;
+    AP uses the MPII/poseval VOCap rule — monotone precision envelope,
+    summed at recall change points.
+  * MOTA per joint — EXACT formula: 1 - (misses + FPs + switches) / #GT
+    labeled joints; a switch is counted when a GT track's matched predicted
+    id differs from its MOST RECENT match (py-motmetrics semantics: gaps do
+    not reset the association).
+  * FP accounting — APPROXIMATED: joints of unmatched predicted poses and
+    non-hit joints of matched poses count as FPs (poseval feeds the same
+    per-joint correspondence sets into motmetrics accumulators).
 
 Inputs are per-frame lists:
   gt:   {track_id, keypoints (K, 3) [x, y, labeled], head_size}
   pred: {track_id, keypoints (K, 3) [x, y, conf], score}
+(pred["score"] is used only as the per-joint confidence fallback when a
+keypoint confidence is not finite.)
 """
 
 from __future__ import annotations
@@ -25,6 +41,16 @@ from typing import Dict, List, Sequence
 import numpy as np
 
 PCKH_THRESH = 0.5
+
+
+def _joint_conf(pred_pose):
+    """Per-keypoint confidences for the AP curves (poseval stores scores
+    per keypoint); non-finite entries fall back to the pose score."""
+    conf = np.asarray(pred_pose["keypoints"], np.float64)[:, 2].copy()
+    bad = ~np.isfinite(conf)
+    if bad.any():
+        conf[bad] = float(pred_pose.get("score", 0.0))
+    return conf
 
 
 def _joint_hits(gt_pose, pred_pose):
@@ -38,7 +64,9 @@ def _joint_hits(gt_pose, pred_pose):
 
 
 def match_frame(gts: List[dict], preds: List[dict]):
-    """Greedy pose assignment by descending joint-hit count.
+    """Greedy pose assignment by descending PCKh fraction (poseval's pck:
+    hit count normalized by the GT pose's labeled-joint count, so a fully
+    recovered sparse pose outranks a grazing hit on a dense one).
 
     Returns list of (gt_idx, pred_idx, hits (K,) bool)."""
     if not gts or not preds:
@@ -46,10 +74,11 @@ def match_frame(gts: List[dict], preds: List[dict]):
     scores = np.zeros((len(gts), len(preds)))
     hits_all = {}
     for i, g in enumerate(gts):
+        n_labeled = max(int((np.asarray(g["keypoints"])[:, 2] > 0).sum()), 1)
         for j, p in enumerate(preds):
             h = _joint_hits(g, p)
             hits_all[(i, j)] = h
-            scores[i, j] = h.sum()
+            scores[i, j] = h.sum() / n_labeled
     matches = []
     s = scores.copy()
     while True:
@@ -63,6 +92,8 @@ def match_frame(gts: List[dict], preds: List[dict]):
 
 
 def _average_precision(scores, is_tp, num_gt):
+    """MPII/poseval VOCap: precision made monotone non-increasing from the
+    right (the envelope), then summed at recall change points."""
     if num_gt == 0:
         return float("nan")
     if len(scores) == 0:
@@ -74,14 +105,11 @@ def _average_precision(scores, is_tp, num_gt):
     fp_c = np.cumsum(fp)
     recall = tp_c / num_gt
     precision = tp_c / np.maximum(tp_c + fp_c, 1e-12)
-    # all-point interpolation
-    ap = 0.0
-    prev_r = 0.0
-    for k in range(len(recall)):
-        if tp[k]:
-            ap += precision[k] * (recall[k] - prev_r)
-            prev_r = recall[k]
-    return float(ap)
+    mrec = np.concatenate([[0.0], recall, [1.0]])
+    mpre = np.concatenate([[0.0], precision, [0.0]])
+    mpre = np.maximum.accumulate(mpre[::-1])[::-1]
+    change = np.nonzero(mrec[1:] != mrec[:-1])[0] + 1
+    return float(np.sum((mrec[change] - mrec[change - 1]) * mpre[change]))
 
 
 def evaluate_posetrack(gt_sequences: Sequence[Sequence[List[dict]]],
@@ -116,12 +144,11 @@ def evaluate_posetrack(gt_sequences: Sequence[Sequence[List[dict]]],
             for gi, pi, hits in matches:
                 g, p = gts[gi], preds[pi]
                 labeled = np.asarray(g["keypoints"])[:, 2] > 0
-                pconf = np.asarray(p["keypoints"])[:, 2]
+                pconf = _joint_conf(p)
                 for k in range(num_joints):
                     if labeled[k]:
                         if hits[k]:
-                            joint_scores[k].append(float(p.get(
-                                "score", pconf[k])))
+                            joint_scores[k].append(pconf[k])
                             joint_tp[k].append(True)
                             # ID continuity per joint
                             gtid, prid = g["track_id"], p["track_id"]
@@ -137,22 +164,19 @@ def evaluate_posetrack(gt_sequences: Sequence[Sequence[List[dict]]],
             # FPs: joints of unmatched predicted poses + missed joints of
             # matched poses whose prediction landed elsewhere
             for pi, p in enumerate(preds):
-                pconf = np.asarray(p["keypoints"])[:, 2]
                 if pi not in matched_pred:
+                    pconf = _joint_conf(p)
                     for k in range(num_joints):
-                        joint_scores[k].append(float(p.get("score",
-                                                           pconf[k])))
+                        joint_scores[k].append(pconf[k])
                         joint_tp[k].append(False)
                         fp[k] += 1
             for gi, pi, hits in matches:
                 g = gts[gi]
                 labeled = np.asarray(g["keypoints"])[:, 2] > 0
-                p = preds[pi]
-                pconf = np.asarray(p["keypoints"])[:, 2]
+                pconf = _joint_conf(preds[pi])
                 for k in range(num_joints):
                     if labeled[k] and not hits[k]:
-                        joint_scores[k].append(float(p.get("score",
-                                                           pconf[k])))
+                        joint_scores[k].append(pconf[k])
                         joint_tp[k].append(False)
                         fp[k] += 1
             # unmatched GT poses: all their labeled joints are misses

@@ -157,6 +157,47 @@ class TestPoseTrackEval:
         assert len(matches) == 1
         assert matches[0][1] == 1  # the near one
 
+    def test_match_frame_pckh_fraction_normalization(self):
+        """poseval's pck normalizes by the GT's labeled-joint count: a pose
+        fully recovering a 3-joint GT must win over one grazing 4/17 joints
+        of a dense GT (raw hit count would prefer the dense one)."""
+        rng = np.random.default_rng(7)
+        sparse = _gt(0, 100, 100, rng=rng)
+        kp = np.asarray(sparse["keypoints"]).copy()
+        kp[3:, 2] = 0  # only 3 labeled joints
+        sparse = {**sparse, "keypoints": kp}
+        dense = _gt(1, 300, 100, rng=rng)
+
+        pred = _pred_from(sparse, 5)        # hits 3/3 of sparse
+        pkp = np.asarray(pred["keypoints"]).copy()
+        # also graze 4 joints of the dense GT? impossible for one pose to
+        # be near both; instead compare two competing preds on one frame:
+        grazing = _pred_from(dense, 6)
+        gkp = np.asarray(grazing["keypoints"]).copy()
+        gkp[4:, :2] += 500.0                # only 4/17 joints still hit
+        grazing = {**grazing, "keypoints": gkp}
+        pred = {**pred, "keypoints": pkp}
+
+        matches = match_frame([sparse, dense], [pred, grazing])
+        by_gt = {m[0]: m for m in matches}
+        # sparse GT fully matched (pck 1.0) is assigned FIRST; both end up
+        # matched to their own pred
+        assert by_gt[0][1] == 0 and by_gt[0][2].sum() == 3
+        assert by_gt[1][1] == 1 and by_gt[1][2].sum() == 4
+
+    def test_vocap_precision_envelope(self):
+        """Hand-computed VOCap: detections [FP .9, TP .8, TP .7] on 2 GT
+        joints give raw precisions [0, 1/2, 2/3]; the monotone envelope
+        lifts every point to 2/3, so AP = 2/3 (plain all-point
+        interpolation would give 0.5*0.5 + 0.5*2/3 = 7/12)."""
+        from flowtrack_tpu.eval.posetrack_eval import _average_precision
+
+        ap = _average_precision([0.9, 0.8, 0.7], [False, True, True], 2)
+        assert ap == pytest.approx(2.0 / 3.0)
+        # and a clean run is exactly 1
+        assert _average_precision([0.9, 0.8], [True, True], 2) == \
+            pytest.approx(1.0)
+
 
 class TestPoseTrackEvalEdges:
     def test_refound_track_same_id_no_switch(self):
