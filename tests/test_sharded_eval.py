@@ -1,6 +1,15 @@
 """Multi-chip sharding correctness (SURVEY.md section 5): the same batch
 sharded over the 8-device mesh vs unsharded single-device must produce
-identical results (the all-gather only moves data)."""
+identical results (the all-gather only moves data).
+
+Equality strength (round-1 VERDICT item 6): the inference paths — forward
+and decode — are per-example computations with NO cross-device reduction,
+so they are asserted BITWISE equal. The train step is the one exception:
+its gradient psum reduces across devices in a different order than the
+single-device batch sum, so float32 summation-order noise of O(eps) is
+mathematically expected there — that test keeps a 1e-6 tolerance and
+documents why (it is a property of any data-parallel reduction, not a
+sharding bug)."""
 
 import numpy as np
 import jax
@@ -43,7 +52,8 @@ def test_sharded_forward_matches_unsharded(rng):
     xs = jax.device_put(x, batch_sharding(mesh))
     vs = jax.device_put(variables, replicated(mesh))
     got = np.asarray(fwd(vs, xs))
-    np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-5)
+    # no cross-device reduction in a batch-sharded forward -> bitwise
+    np.testing.assert_array_equal(got, want)
 
 
 def test_sharded_train_step_matches_unsharded(rng):
@@ -90,10 +100,8 @@ def test_sharded_decode_matches_unsharded(rng):
     got_p, got_v = decode(jax.device_put(hm, sh),
                           jax.device_put(centers, sh),
                           jax.device_put(scales, sh))
-    np.testing.assert_allclose(np.asarray(got_p), np.asarray(want_p),
-                               atol=1e-5)
-    np.testing.assert_allclose(np.asarray(got_v), np.asarray(want_v),
-                               atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(got_p), np.asarray(want_p))
+    np.testing.assert_array_equal(np.asarray(got_v), np.asarray(want_v))
 
 
 def test_pad_to_multiple():
