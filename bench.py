@@ -167,11 +167,14 @@ def run_clip_bench():
     from flowtrack_tpu.tracking.clip_pipeline import ClipTracker, \
         pad_detections
 
+    from dataclasses import replace
+
     cfg = get_config(BENCH_CFG)
     if os.environ.get("BENCH_FLIP") == "0":
-        from dataclasses import replace
-
         cfg = replace(cfg, test=replace(cfg.test, flip_test=False))
+    if os.environ.get("BENCH_RECOVER") == "0":
+        # ablation: disable the detector-miss recovery pose pass
+        cfg = replace(cfg, track=replace(cfg.track, clip_recover=False))
     h, w = cfg.model.image_size  # frames at model input res
     pose = get_pose_net(cfg.model)
     flow_variant = os.environ.get("BENCH_FLOW", "flownet_s")
@@ -236,8 +239,111 @@ def run_clip_bench():
         out = tracker.run_prepared(args)
     jax.block_until_ready(out)
     dt = (time.perf_counter() - t0) / reps
-    assert out[3].shape == (FRAMES, PERSONS)
-    return FRAMES / dt
+    assert out[3].shape == (FRAMES, tracker.num_slots)
+
+    # Auditable ceiling math: XLA's own flop count for the ENTIRE clip
+    # program (pose+flow+decode+matching), per frame, and the implied MFU
+    # against the chip's bf16 peak — so the "% of peak" claim is
+    # recomputed from primary data on every run.
+    extras = {}
+    try:
+        # cost_analysis on the LOWERED stage (pre-optimization HLO): no
+        # second backend compile, and flop count is invariant to fusion
+        lowered = tracker._clip_fn.lower(tracker.pose_vars,
+                                         tracker.flow_vars, *args)
+        ca = lowered.cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        flops = float(ca.get("flops", 0.0))
+        if flops > 0:
+            gflops_frame = flops / FRAMES / 1e9
+            extras["gflops_per_frame"] = round(gflops_frame, 1)
+            extras["tflops_per_sec"] = round(gflops_frame * FRAMES / dt / 1e3,
+                                             1)
+            extras["mfu_pct_of_197T_bf16"] = round(
+                100.0 * flops / dt / 197e12, 1)
+    except Exception:
+        pass
+    return FRAMES / dt, extras
+
+
+def run_accuracy_smoke():
+    """BENCH_ACCURACY=1: closed-loop accuracy ON THE REAL CHIP (VERDICT
+    round-1 item 7). Plants Gaussian GT heatmaps at known joints, runs the
+    on-device decode path (argmax + quarter-pixel + inverse affine +
+    rescore) on whatever jax.devices()[0] is, and scores with the in-repo
+    COCO evaluator. Prints ONE json line with the on-device AP and the max
+    decode round-trip error in image pixels."""
+    import jax
+    import jax.numpy as jnp
+
+    from flowtrack_tpu.config import get_config
+    from flowtrack_tpu.eval.coco_eval import COCOKeypointEval
+    from flowtrack_tpu.ops.affine import affine_transform, \
+        get_affine_transform
+    from flowtrack_tpu.ops.decode import get_final_preds, rescore
+    from flowtrack_tpu.ops.heatmap import generate_target_np
+    from flowtrack_tpu.pipeline import batched_box_to_center_scale
+
+    cfg = get_config(BENCH_CFG)
+    ih, iw = cfg.model.image_size
+    hh, hw = cfg.model.heatmap_size
+    k = cfg.model.num_joints
+    rng = np.random.default_rng(0)
+    n_imgs, p = 8, PERSONS
+
+    gts, hms, centers, scales, img_ids = [], [], [], [], []
+    gt_joints = []
+    for img in range(n_imgs):
+        boxes = np.stack([
+            rng.uniform(10, 300, p), rng.uniform(10, 300, p),
+            rng.uniform(80, 160, p), rng.uniform(120, 220, p)], axis=1)
+        c, s = batched_box_to_center_scale(boxes, iw / ih)
+        for i in range(p):
+            x0, y0, w, h = boxes[i]
+            joints = np.stack([
+                rng.uniform(x0 + 0.15 * w, x0 + 0.85 * w, k),
+                rng.uniform(y0 + 0.15 * h, y0 + 0.85 * h, k)], axis=1)
+            trans = get_affine_transform(c[i], s[i], 0.0, (iw, ih))
+            joints_crop = affine_transform(joints, trans)
+            hm, _ = generate_target_np(joints_crop, np.ones(k), (hh, hw),
+                                       (ih, iw), cfg.model.sigma)
+            hms.append(hm)
+            gt_joints.append(joints)
+            kp = np.concatenate([joints, np.full((k, 1), 2.0)],
+                                axis=1).reshape(-1)
+            gts.append({"image_id": img, "area": float(w * h),
+                        "bbox": [float(x0), float(y0), float(w), float(h)],
+                        "keypoints": kp.tolist(), "iscrowd": 0,
+                        "num_keypoints": k})
+            centers.append(c[i])
+            scales.append(s[i])
+            img_ids.append(img)
+
+    decode = jax.jit(lambda h, c, s: get_final_preds(h, c, s))
+    preds, maxvals = decode(jnp.asarray(np.stack(hms)),
+                            jnp.asarray(np.stack(centers), jnp.float32),
+                            jnp.asarray(np.stack(scales), jnp.float32))
+    scores = rescore(jnp.ones(len(hms)), maxvals, cfg.test.in_vis_thre)
+    preds = np.asarray(preds)
+    err = float(np.abs(preds - np.stack(gt_joints)).max())
+
+    dts = []
+    for i in range(len(hms)):
+        kp = np.concatenate([preds[i], np.asarray(maxvals)[i][:, None]],
+                            axis=1).reshape(-1)
+        dts.append({"image_id": img_ids[i], "keypoints": kp.tolist(),
+                    "score": float(np.asarray(scores)[i])})
+    stats = COCOKeypointEval(gts, dts).evaluate()
+    print(json.dumps({
+        "metric": "coco_ap_gt_heatmap_closed_loop_on_device",
+        "value": round(stats["AP"], 4),
+        "unit": f"AP ({len(hms)} poses, decode+affine+rescore on device)",
+        "platform": jax.devices()[0].platform,
+        "max_decode_err_px": round(err, 3),
+        "AP50": round(stats["AP50"], 4), "AP75": round(stats["AP75"], 4),
+    }))
+    return stats["AP"], err
 
 
 def run_oracle_bench():
@@ -256,8 +362,15 @@ def main():
     if os.environ.get("BENCH_COMPONENTS") == "1":
         run_component_bench()
         return
+    if os.environ.get("BENCH_ACCURACY") == "1":
+        run_accuracy_smoke()
+        return
     mode = os.environ.get("BENCH_MODE", "clip")
-    fps = run_clip_bench() if mode == "clip" else run_tpu_bench()
+    extras = {}
+    if mode == "clip":
+        fps, extras = run_clip_bench()
+    else:
+        fps = run_tpu_bench()
     oracle_fps = None
     cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                          ".bench_oracle_fps.json")
@@ -283,6 +396,7 @@ def main():
         "vs_baseline": round(fps / oracle_fps, 2) if oracle_fps else None,
         "platform": platform,
         "oracle_fps_torch_cpu": round(oracle_fps, 3) if oracle_fps else None,
+        **extras,
     }
     print(json.dumps(out))
 
