@@ -50,6 +50,7 @@ class QuantConv(nn.Module):
     padding: int = 0
     transpose: bool = False
     mixed: bool = False
+    prequantized: bool = False
     compute_dtype: Any = jnp.float32
 
     @nn.compact
@@ -58,12 +59,6 @@ class QuantConv(nn.Module):
         cin = x.shape[-1]
         if self.mixed and quantized:
             quantized = (not self.transpose) and (k == 1 or cin <= 64)
-        kernel = self.param("kernel", nn.initializers.zeros,
-                            (k, k, cin, self.features), jnp.float32)
-        bias = self.param("bias", nn.initializers.zeros,
-                          (self.features,), jnp.float32)
-        amax = self.variable("quant", "amax",
-                             lambda: jnp.zeros((), jnp.float32))
 
         if self.transpose:
             conv_kw = dict(window_strides=(1, 1),
@@ -74,6 +69,33 @@ class QuantConv(nn.Module):
             conv_kw = dict(window_strides=(s, s),
                            padding=[(p, p), (p, p)],
                            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+        bias = self.param("bias", nn.initializers.zeros,
+                          (self.features,), jnp.float32)
+        amax = self.variable("quant", "amax",
+                             lambda: jnp.zeros((), jnp.float32))
+
+        if self.prequantized:
+            # weights stored ALREADY int8 (+fp32 per-channel scale): no
+            # per-call round/clip/cast and half the weight HBM traffic
+            # (round-2 lead (a), STATUS.md). Inference-only: calibration
+            # runs on the float-kernel model before prequantize_params.
+            assert quantized and not calibrate, \
+                "prequantized QuantConv is int8-inference-only"
+            wq = self.param("wq", nn.initializers.zeros,
+                            (k, k, cin, self.features), jnp.int8)
+            w_scale = self.param(
+                "w_scale", lambda *_: jnp.ones((self.features,),
+                                               jnp.float32))
+            a_scale = jnp.maximum(amax.value, 1e-6) / 127.0
+            xq = jnp.clip(jnp.round(x.astype(jnp.float32) / a_scale),
+                          -127, 127).astype(jnp.int8)
+            y = jax.lax.conv_general_dilated(
+                xq, wq, preferred_element_type=jnp.int32, **conv_kw)
+            return y.astype(jnp.float32) * (a_scale * w_scale) + bias
+
+        kernel = self.param("kernel", nn.initializers.zeros,
+                            (k, k, cin, self.features), jnp.float32)
 
         if calibrate:
             if not self.is_initializing():
@@ -107,12 +129,14 @@ class _QBlock(nn.Module):
     strides: int = 1
     downsample: bool = False
     mixed: bool = False
+    prequantized: bool = False
     compute_dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, calibrate=False, quantized=True):
         kw = dict(calibrate=calibrate, quantized=quantized)
-        mk = dict(mixed=self.mixed, compute_dtype=self.compute_dtype)
+        mk = dict(mixed=self.mixed, prequantized=self.prequantized,
+                  compute_dtype=self.compute_dtype)
         residual = x
         if self.block == "bottleneck":
             y = QuantConv(self.features, 1, 1, 0, name="conv1", **mk)(x, **kw)
@@ -141,12 +165,14 @@ class PoseResNetQ(nn.Module):
 
     cfg: ModelConfig
     mixed: bool = False
+    prequantized: bool = False
     compute_dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, calibrate: bool = False, quantized: bool = True):
         kw = dict(calibrate=calibrate, quantized=quantized)
-        mk = dict(mixed=self.mixed, compute_dtype=self.compute_dtype)
+        mk = dict(mixed=self.mixed, prequantized=self.prequantized,
+                  compute_dtype=self.compute_dtype)
         block, stages = RESNET_SPECS[self.cfg.num_layers]
         x = x.astype(jnp.float32)
         x = QuantConv(64, 7, 2, 3, name="conv1", **mk)(x, **kw)
@@ -257,6 +283,30 @@ def fold_pose_resnet(variables) -> dict:
     return out
 
 
+def prequantize_params(folded_params):
+    """Folded float params -> prequantized tree: every {kernel, bias} conv
+    node becomes {wq int8, w_scale fp32/channel, bias} with EXACTLY the
+    same quantization math QuantConv applies at runtime (pinned by test:
+    outputs are bitwise-identical). The float final head is untouched."""
+    def walk(node):
+        out = {}
+        for k, v in node.items():
+            if isinstance(v, dict) and set(v) == {"kernel", "bias"}:
+                kern = np.asarray(v["kernel"], np.float32)
+                ws = np.maximum(np.abs(kern).max(axis=(0, 1, 2)),
+                                1e-12) / 127.0
+                wq = np.clip(np.round(kern / ws), -127, 127).astype(np.int8)
+                out[k] = {"wq": jnp.asarray(wq),
+                          "w_scale": jnp.asarray(ws, jnp.float32),
+                          "bias": v["bias"]}
+            elif isinstance(v, dict):
+                out[k] = walk(v)
+            else:
+                out[k] = v  # final_kernel / final_bias float leaves
+        return out
+    return walk(folded_params)
+
+
 def make_quant_variables(model: PoseResNetQ, folded_params, sample_input):
     """Assemble {params, quant} with zeroed activation scales."""
     init = jax.jit(model.init,
@@ -281,15 +331,25 @@ class QuantPoseAdapter:
 
 def quantize_pose_model(float_model, float_variables, cfg: ModelConfig,
                         calib_batches, mixed: bool = False,
+                        prequantized: bool = False,
                         compute_dtype=jnp.float32):
     """One-call PTQ: float PoseResNet -> (adapter, quant variables).
 
     mixed=True: int8 only where it wins on this hardware (1x1 convs and
-    <=64-ch 3x3), everything else in ``compute_dtype`` (use bf16)."""
+    <=64-ch 3x3), everything else in ``compute_dtype`` (use bf16).
+    prequantized=True (full-int8 only): weights stored int8 at conversion
+    time — removes the per-call weight round/clip/cast and halves weight
+    HBM traffic."""
     qmodel = PoseResNetQ(cfg=cfg, mixed=mixed, compute_dtype=compute_dtype)
     folded = fold_pose_resnet(float_variables)
     qvars = make_quant_variables(qmodel, folded, calib_batches[0])
     qvars = calibrate(qmodel, qvars, calib_batches)
+    if prequantized:
+        assert not mixed, "prequantized supports the full-int8 mode only"
+        qmodel = PoseResNetQ(cfg=cfg, prequantized=True,
+                             compute_dtype=compute_dtype)
+        qvars = {"params": prequantize_params(qvars["params"]),
+                 "quant": qvars["quant"]}
     return QuantPoseAdapter(qmodel), qvars
 
 

@@ -319,6 +319,13 @@ class ClipTracker:
         run_prepared. Split out so callers can overlap the transfer of clip
         t+1 with the compute of clip t (data/loader.device_prefetch style)."""
         f, p = det_scores.shape
+        k = max(1, self.cfg.track.keyframe_interval)
+        if k > 1:
+            # keyframe-detection mode: non-keyframe detections are masked;
+            # persons survive those frames through the recovery slots
+            # (requires track.max_miss_age >= k - 1 and enough
+            # recover_budget; see module docstring stage 3a/3b)
+            det_valid = det_valid & (np.arange(f)[:, None] % k == 0)
         centers = np.zeros((f, p, 2), np.float32)
         scales = np.full((f, p, 2), 1e-3, np.float32)
         boxes_xyxy = np.zeros((f, p, 4), np.float32)

@@ -270,10 +270,18 @@ class FlowTracker:
 
     def track_sequence(self, frames, detections) -> List[List[Track]]:
         """frames: iterable of RGB images; detections: per-frame
-        (boxes (D,4) xywh, scores (D,)). Returns per-frame track lists."""
+        (boxes (D,4) xywh, scores (D,)). Returns per-frame track lists.
+
+        With ``track.keyframe_interval`` = k > 1, detections are consumed
+        only on every k-th frame; in between, tracks ride purely on the
+        flow-propagated boxes (the paper's keyframe-detection variant)."""
         self.reset()
+        k = max(1, self.cfg.track.keyframe_interval)
         out = []
-        for img, (boxes, scores) in zip(frames, detections):
+        for t, (img, (boxes, scores)) in enumerate(zip(frames, detections)):
+            if t % k != 0:
+                boxes = np.zeros((0, 4), np.float32)
+                scores = np.zeros((0,), np.float32)
             out.append(list(self.step(img, boxes, scores)))
         return out
 

@@ -279,6 +279,35 @@ def test_clip_recovery_mota_parity_with_streaming():
     assert clip_eval["num_switches"] == stream_eval["num_switches"] == 0
 
 
+def test_clip_keyframe_interval_tracks_through_gaps():
+    """track.keyframe_interval=2: detections are consumed on even frames
+    only; persons persist through odd frames via the recovery slots with
+    STABLE ids (the paper's keyframe-detection variant)."""
+    cfg = make_cfg()
+    cfg = replace(cfg, track=replace(cfg.track, keyframe_interval=2,
+                                     max_miss_age=2))
+    tracker = ClipTracker(cfg, StubPose(), {}, StubFlow(), {})
+    frames, boxes, scores, gt_centers = _dropout_scenario(f=6,
+                                                          drop_frame=-1)
+    db, dsc, dv = pad_detections(boxes, scores, cfg.track.max_persons)
+    out = tracker.track_clip(frames, db, dsc, dv)
+    ids, valid = out["ids"], out["valid"]
+    p = cfg.track.max_persons
+    a_id, b_id = ids[0, 0], ids[0, 1]
+    assert a_id >= 0 and b_id >= 0 and a_id != b_id
+    for t in range(6):
+        live = set(ids[t][valid[t]].tolist())
+        assert {a_id, b_id} <= live, (t, ids[t], valid[t])
+        if t % 2 == 1:  # non-keyframe: only recovery slots are valid
+            assert not valid[t, :p].any(), (t, valid[t])
+            # recovered poses still track the true motion
+            for pid, slot in [(0, int(np.argmax(
+                    (ids[t] == a_id) & valid[t]))),
+                    (1, int(np.argmax((ids[t] == b_id) & valid[t])))]:
+                c = out["joints"][t, slot].mean(axis=0)
+                np.testing.assert_allclose(c, gt_centers[t][pid], atol=4.0)
+
+
 def test_clip_recover_off_keeps_det_slots_only():
     cfg = make_cfg()
     cfg = replace(cfg, track=replace(cfg.track, clip_recover=False))

@@ -87,6 +87,33 @@ def test_int8_close_to_float(float_model_and_vars):
     assert (want_pk == got_pk).mean() > 0.8
 
 
+def test_prequantized_weights_bitwise_match_runtime_quant(
+        float_model_and_vars):
+    """Lead (a) correctness pin: storing int8 weights at conversion time
+    (prequantize_params) must produce EXACTLY the runtime-quantize path's
+    outputs — same scales, same rounding, only the when moves."""
+    from flowtrack_tpu.models.quantize import prequantize_params
+
+    model, variables, x = float_model_and_vars
+    qmodel = PoseResNetQ(cfg=CFG)
+    folded = fold_pose_resnet(variables)
+    qvars = calibrate(qmodel, make_quant_variables(qmodel, folded,
+                                                   jnp.asarray(x)),
+                      [jnp.asarray(x)])
+    want = np.asarray(qmodel.apply(
+        {"params": qvars["params"], "quant": qvars["quant"]},
+        jnp.asarray(x), calibrate=False, quantized=True))
+
+    pmodel = PoseResNetQ(cfg=CFG, prequantized=True)
+    pparams = prequantize_params(qvars["params"])
+    got = np.asarray(pmodel.apply(
+        {"params": pparams, "quant": qvars["quant"]},
+        jnp.asarray(x), calibrate=False, quantized=True))
+    np.testing.assert_array_equal(got, want)
+    # and the weights really are int8 in the tree
+    assert pparams["conv1"]["wq"].dtype == jnp.int8
+
+
 @pytest.mark.slow
 def test_quantized_ap_holds(tmp_path):
     """Train the tiny closed-loop model, quantize, and require the decoded

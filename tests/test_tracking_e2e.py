@@ -102,6 +102,53 @@ def test_miss_recovered_by_propagation(tracked):
     np.testing.assert_allclose(centers, want, atol=5.0)
 
 
+def test_keyframe_interval_streaming(rng):
+    """track.keyframe_interval=2: the streaming tracker consumes detections
+    on even frames only and keeps both ids alive through the gaps on
+    flow-propagated boxes."""
+    from dataclasses import replace
+
+    gt = make_sequence(rng)
+    state = {"t": 0}
+
+    def pose_fn(image, boxes, scores):
+        t = state["t"]
+        centers_gt = gt[t].mean(1)
+        joints, maxvals, resc = [], [], []
+        for b, s in zip(boxes, scores):
+            c = np.array([b[0] + b[2] / 2, b[1] + b[3] / 2])
+            i = int(np.argmin(np.linalg.norm(centers_gt - c, axis=1)))
+            joints.append(gt[t][i])
+            maxvals.append(np.full(K, 0.95))
+            resc.append(float(s) * 0.95)
+        state["t"] += 1
+        return (np.asarray(joints, np.float32),
+                np.asarray(maxvals, np.float32),
+                np.asarray(resc, np.float32))
+
+    def flow_fn(prev_image, image):
+        f = np.zeros((H, W, 2), np.float32)
+        f[..., 0], f[..., 1] = VEL[0], VEL[1]
+        return f
+
+    cfg = Config()
+    cfg = replace(cfg, track=replace(cfg.track, keyframe_interval=2))
+    tracker = FlowTracker(cfg=cfg, pose_fn=pose_fn, flow_fn=flow_fn)
+    frames = [np.zeros((H, W, 3), np.uint8) for _ in range(N_FRAMES)]
+    detections = [(boxes_of(gt[t]), np.array([0.95, 0.9], np.float32))
+                  for t in range(N_FRAMES)]
+    per_frame = tracker.track_sequence(frames, detections)
+    ids_per_person = {0: set(), 1: set()}
+    for t, tracks in enumerate(per_frame):
+        assert len(tracks) == 2, (t, len(tracks))
+        for tr in tracks:
+            p = int(np.argmin(np.linalg.norm(
+                gt[t].mean(1) - tr.joints.mean(0), axis=1)))
+            ids_per_person[p].add(tr.track_id)
+    assert len(ids_per_person[0]) == 1 and len(ids_per_person[1]) == 1
+    assert ids_per_person[0] != ids_per_person[1]
+
+
 def test_mota_one(tracked):
     gt, per_frame = tracked
     gt_seq, pred_seq = [], []
