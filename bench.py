@@ -201,7 +201,31 @@ def run_clip_bench():
         rngk, jnp.zeros((1, fh, fw, 6)), train=False)
 
     quant_mode = os.environ.get("BENCH_QUANT", "")
-    if quant_mode in ("1", "mixed", "pre"):
+    if quant_mode == "folded":
+        # BN-folded float path (no int8): isolates whether the BN
+        # scale/shift epilogue costs anything under XLA fusion.
+        from dataclasses import replace as _replace
+
+        from flowtrack_tpu.models.quantize import (PoseResNetQ,
+                                                   QuantPoseAdapter,
+                                                   fold_pose_resnet,
+                                                   make_quant_variables)
+
+        fcfg = _replace(cfg.model, dtype="float32")
+        fpose = get_pose_net(fcfg)
+        fvars = jax.jit(fpose.init, static_argnames="train")(
+            rngk, jnp.zeros((1, h, w, 3)), train=False)
+        qmodel = PoseResNetQ(cfg=fcfg, compute_dtype=jnp.bfloat16)
+        qvars = make_quant_variables(qmodel, fold_pose_resnet(fvars),
+                                     jnp.zeros((1, h, w, 3)))
+
+        class _FoldedAdapter(QuantPoseAdapter):
+            def apply(self, variables, x, train=False):
+                return self.qmodel.apply(variables, x, calibrate=False,
+                                         quantized=False)
+
+        pose, pose_vars = _FoldedAdapter(qmodel), qvars
+    elif quant_mode in ("1", "mixed", "pre"):
         # int8 W8A8 pose (models/quantize.py). "mixed": int8 only where it
         # wins on this chip, bf16 elsewhere. "pre": full int8 with weights
         # stored int8 at conversion (no per-call weight requantization).
@@ -355,6 +379,69 @@ def run_accuracy_smoke():
     return stats["AP"], err
 
 
+def run_train_accuracy_smoke():
+    """BENCH_ACCURACY=train: the full train->eval closed loop ON THE REAL
+    CHIP — train a real PoseResNet-18 on the synthetic COCO fixture until
+    COCO-AP clears a level random weights cannot (the CPU-mesh twin is
+    tests/test_train_to_eval_loop.py). Puts the bf16/fp32 model numerics,
+    the donated train step and the whole eval pipeline on hardware."""
+    import tempfile
+    from dataclasses import replace
+    from pathlib import Path
+
+    import jax
+    import jax.numpy as jnp
+
+    from flowtrack_tpu.config import (Config, ModelConfig, TestConfig,
+                                      TrainConfig)
+    from flowtrack_tpu.data import BatchLoader, COCODataset
+    from flowtrack_tpu.engine.train import (create_train_state,
+                                            make_jit_train_step)
+    from flowtrack_tpu.models.pose_resnet import get_pose_net
+    from tests.fixtures import make_coco_fixture
+    from tools.test import run_validation
+
+    tmp = Path(tempfile.mkdtemp())
+    root, _, _ = make_coco_fixture(tmp, n_images=4, persons=2)
+    cfg = Config(
+        model=ModelConfig(num_layers=18, image_size=(64, 64),
+                          heatmap_size=(16, 16), sigma=1.5,
+                          dtype="float32"),
+        train=TrainConfig(batch_size=8, lr=2e-3, flip_prob=0.0,
+                          rot_factor=0.0, scale_factor=0.0),
+        test=TestConfig(batch_size=8, use_gt_bbox=True, flip_test=False))
+    cfg = replace(cfg, data=replace(cfg.data, root=root,
+                                    test_set="val2017"))
+    train_ds = COCODataset(cfg, root, "val2017", is_train=True)
+    eval_ds = COCODataset(cfg, root, "val2017", is_train=False)
+    model = get_pose_net(cfg.model)
+    state = create_train_state(model, cfg, jax.random.PRNGKey(0),
+                               jnp.zeros((1, 64, 64, 3)))
+    step = make_jit_train_step(donate=False)
+    loader = BatchLoader(train_ds, 8, shuffle=True, seed=0)
+    t0 = time.perf_counter()
+    loss = None
+    for _ in range(60):
+        for batch in loader:
+            dev = {k: jnp.asarray(batch[k])
+                   for k in ("input", "target", "target_weight")}
+            state, m = step(state, dev)
+            loss = m["loss"]
+    train_s = time.perf_counter() - t0
+    stats = run_validation(
+        cfg, model, {"params": state.params,
+                     "batch_stats": state.batch_stats}, dataset=eval_ds)
+    print(json.dumps({
+        "metric": "coco_ap_train_to_eval_closed_loop_on_device",
+        "value": round(stats["AP"], 4),
+        "unit": "AP after 60 epochs on the synthetic fixture",
+        "platform": jax.devices()[0].platform,
+        "final_loss": round(float(loss), 6),
+        "train_seconds": round(train_s, 1),
+    }))
+    return stats["AP"]
+
+
 def run_oracle_bench():
     """Same per-frame work in torch-CPU (the measured denominator) —
     single source of truth lives in benchmarks/reference_oracle.py."""
@@ -373,6 +460,9 @@ def main():
         return
     if os.environ.get("BENCH_ACCURACY") == "1":
         run_accuracy_smoke()
+        return
+    if os.environ.get("BENCH_ACCURACY") == "train":
+        run_train_accuracy_smoke()
         return
     mode = os.environ.get("BENCH_MODE", "clip")
     extras = {}

@@ -308,6 +308,39 @@ def test_clip_keyframe_interval_tracks_through_gaps():
                 np.testing.assert_allclose(c, gt_centers[t][pid], atol=4.0)
 
 
+def test_clip_recovery_age_cap_kills_vanished_tracks():
+    """A person that disappears for good is propagated at most
+    track.max_miss_age frames, then the track dies — no zombie recovery
+    chains (the stub pose scores high anywhere, so only the age cap can
+    stop the chain)."""
+    cfg = make_cfg()
+    cfg = replace(cfg, track=replace(cfg.track, max_miss_age=2))
+    tracker = ClipTracker(cfg, StubPose(), {}, StubFlow(), {})
+    f = 7
+    frames = np.zeros((f, 128, 160, 3), np.float32)
+    boxes, scores = [], []
+    for t in range(f):
+        ax, ay = 40 + VEL[0] * t, 50 + VEL[1] * t
+        bs, sc = [[ax - 15, ay - 15, 30, 30]], [0.9]
+        if t < 2:  # B exists only in frames 0-1
+            bx, by = 90 + VEL[0] * t, 60 + VEL[1] * t
+            bs.append([bx - 15, by - 15, 30, 30])
+            sc.append(0.8)
+        boxes.append(bs)
+        scores.append(sc)
+    db, dsc, dv = pad_detections(boxes, scores, cfg.track.max_persons)
+    out = tracker.track_clip(frames, db, dsc, dv)
+    ids, valid = out["ids"], out["valid"]
+    b_id = ids[0, 1]
+    # recovery bridges frames 2..3 (ages 1..2), then the cap kills it
+    for t in (2, 3):
+        assert (ids[t][valid[t]] == b_id).sum() == 1, (t, ids[t], valid[t])
+    for t in (4, 5, 6):
+        assert b_id not in set(ids[t][valid[t]].tolist()), (t, ids[t])
+    # A unaffected throughout
+    assert (ids[:, 0] == ids[0, 0]).all()
+
+
 def test_clip_recover_off_keeps_det_slots_only():
     cfg = make_cfg()
     cfg = replace(cfg, track=replace(cfg.track, clip_recover=False))
