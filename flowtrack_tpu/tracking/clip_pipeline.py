@@ -346,8 +346,20 @@ class ClipTracker:
                 jnp.asarray(boxes_xyxy))
 
     def run_prepared(self, device_args):
-        """Device-side tracking of a prepared clip; returns device arrays."""
+        """Device-side tracking of a prepared clip; returns device arrays.
+        Dispatch is async — callers can prepare/dispatch the next clip
+        before fetching (utils/video.track_video_clips overlaps this way)."""
         return self._clip_fn(self.pose_vars, self.flow_vars, *device_args)
+
+    @staticmethod
+    def to_host(device_out):
+        """Device result tuple -> the track_clip numpy dict."""
+        preds, maxvals, scores, ids, valid = device_out
+        ids = np.asarray(ids)
+        valid = np.asarray(valid)
+        ids = np.where(valid, ids, -1)
+        return {"joints": np.asarray(preds), "maxvals": np.asarray(maxvals),
+                "scores": np.asarray(scores), "ids": ids, "valid": valid}
 
     def track_clips(self, frames: np.ndarray, det_boxes: np.ndarray,
                     det_scores: np.ndarray, det_valid: np.ndarray,
@@ -378,13 +390,8 @@ class ClipTracker:
         T = P + track.max_recovered candidate slots (the trailing slots are
         flow-recovered detector misses): joints (F, T, K, 2), maxvals
         (F, T, K), scores (F, T), ids (F, T) (-1 = invalid), valid (F, T)."""
-        preds, maxvals, scores, ids, valid = self.run_prepared(
-            self.prepare(frames, det_boxes, det_scores, det_valid))
-        ids = np.asarray(ids)
-        valid = np.asarray(valid)
-        ids = np.where(valid, ids, -1)
-        return {"joints": np.asarray(preds), "maxvals": np.asarray(maxvals),
-                "scores": np.asarray(scores), "ids": ids, "valid": valid}
+        return self.to_host(self.run_prepared(
+            self.prepare(frames, det_boxes, det_scores, det_valid)))
 
 
 def pad_detections(per_frame_boxes, per_frame_scores, max_persons: int):

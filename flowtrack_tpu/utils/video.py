@@ -109,12 +109,25 @@ def track_video_clips(tracker, frames: np.ndarray, det_boxes, det_scores,
     id_offset = 0
     prev_tail = None  # (poses, global_ids) of the shared frame
 
-    for span in clip_spans(n, clip_len):
+    # one-clip dispatch lag: while the device computes clip i, the host
+    # prepares and enqueues the H2D + compute of clip i+1 (jax dispatch is
+    # async); only then do we block fetching clip i's outputs. On hosts
+    # with slow H2D this hides the transfer behind compute.
+    def dispatch(span):
         idx = list(span)
         db, dsc, dv = pad_detections([det_boxes[i] for i in idx],
                                      [det_scores[i] for i in idx],
                                      max_persons)
-        out = tracker.track_clip(frames[idx], db, dsc, dv)
+        return idx, tracker.run_prepared(
+            tracker.prepare(frames[idx], db, dsc, dv))
+
+    spans = clip_spans(n, clip_len)
+    pending = dispatch(spans[0])
+    for next_span in list(spans[1:]) + [None]:
+        idx, device_out = pending
+        if next_span is not None:
+            pending = dispatch(next_span)
+        out = tracker.to_host(device_out)
 
         # local -> global id translation for this clip
         local_ids = out["ids"]
