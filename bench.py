@@ -225,6 +225,13 @@ def run_clip_bench():
                                          quantized=False)
 
         pose, pose_vars = _FoldedAdapter(qmodel), qvars
+    elif os.environ.get("BENCH_FUSED") == "1":
+        # Pallas fused-stage backbone (ops/fused_resnet.py). Measured
+        # SLOWER than plain XLA on this chip — kept runnable so the
+        # falsification in the module docstring stays reproducible.
+        from flowtrack_tpu.ops.fused_resnet import fuse_pose_model
+
+        pose, pose_vars = fuse_pose_model(cfg.model, pose_vars)
     elif quant_mode in ("1", "mixed", "pre"):
         # int8 W8A8 pose (models/quantize.py). "mixed": int8 only where it
         # wins on this chip, bf16 elsewhere. "pre": full int8 with weights
