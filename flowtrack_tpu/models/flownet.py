@@ -385,6 +385,44 @@ class FlowNet2(nn.Module):
         return fusion(fuse_in, train=False)
 
 
+class FlowNet2CSS(nn.Module):
+    """Truncated FlowNet2 cascades: C -> S (CS, ``stages=1``) and
+    C -> S -> S (CSS, ``stages=2``) — the lineage ships FlowNet2-CS /
+    FlowNet2-CSS checkpoints alongside the full stack. Same inter-stage
+    wiring and param names as :class:`FlowNet2`, so ``convert_flownet2``
+    loads their state_dicts unchanged. Output: FULL-resolution flow of the
+    last S stage (the lineage's convention for these variants)."""
+
+    stages: int = 2
+    use_bn: bool = False
+    div_flow: float = 20.0
+    use_pallas_corr: bool = False
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        img1, img2 = x[..., :3], x[..., 3:]
+        flownetc = FlowNetC(use_bn=self.use_bn, dtype=self.dtype,
+                            use_pallas_corr=self.use_pallas_corr,
+                            name="flownetc")
+        flow = _upsample4(flownetc(x, train=False) * self.div_flow)
+
+        def stage_input(flow_full):
+            warped = resample2d(img2.astype(jnp.float32), flow_full)
+            err = channelnorm(img1.astype(jnp.float32) - warped)
+            return jnp.concatenate(
+                [x, warped.astype(x.dtype),
+                 (flow_full / self.div_flow).astype(x.dtype),
+                 err.astype(x.dtype)], axis=-1)
+
+        for i in range(self.stages):
+            s = FlowNetS(use_bn=self.use_bn, dtype=self.dtype,
+                         name=f"flownets_{i + 1}")
+            flow = _upsample4(s(stage_input(flow), train=False)
+                              * self.div_flow)
+        return flow.astype(jnp.float32)
+
+
 def preprocess_pair(im1, im2, rgb_max: float = 255.0):
     """Two (N, H, W, 3) uint8/float frames -> (N, H, W, 6) normalized input.
 
@@ -408,7 +446,7 @@ def flow_output_is_full_res(variant: str) -> bool:
     FlowNet2 cascade's fusion net emits FINAL full-resolution flow. Callers
     (pipeline.FlowPredictor, tracking ClipTracker) must not re-upsample or
     re-scale the latter."""
-    return variant == "flownet2"
+    return variant in ("flownet2", "flownet2_cs", "flownet2_css")
 
 
 def postprocess_flow(flow_out, variant: str, out_hw, div_flow: float = 20.0):
@@ -439,4 +477,8 @@ def get_flow_net(cfg: FlowConfig):
     if cfg.variant == "flownet2":
         return FlowNet2(div_flow=cfg.div_flow,
                         use_pallas_corr=cfg.use_pallas_corr, **common)
+    if cfg.variant in ("flownet2_cs", "flownet2_css"):
+        return FlowNet2CSS(stages=1 if cfg.variant == "flownet2_cs" else 2,
+                           div_flow=cfg.div_flow,
+                           use_pallas_corr=cfg.use_pallas_corr, **common)
     raise KeyError(f"unknown flow variant {cfg.variant!r}")

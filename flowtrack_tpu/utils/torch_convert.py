@@ -287,3 +287,10 @@ def convert_flownet2(sd: Dict[str, np.ndarray]):
     if stats:
         out["batch_stats"] = stats
     return out
+
+
+# FlowNet2-CS / FlowNet2-CSS checkpoints carry a subset of the full
+# stack's subnets; the per-subnet loop in convert_flownet2 already skips absent
+# prefixes, so the same converter applies.
+convert_flownet2_cs = convert_flownet2
+convert_flownet2_css = convert_flownet2

@@ -62,6 +62,12 @@ ZOO = {
         ZooEntry("flownet2", "flownet_s",  # cfg variant overridden below
                  _flow_builder, tc.convert_flownet2,
                  "FlowNet2_checkpoint.pth.tar"),
+        ZooEntry("flownet2_cs", "flownet_s",
+                 _flow_builder, tc.convert_flownet2_cs,
+                 "FlowNet2-CS_checkpoint.pth.tar"),
+        ZooEntry("flownet2_css", "flownet_s",
+                 _flow_builder, tc.convert_flownet2_css,
+                 "FlowNet2-CSS_checkpoint.pth.tar"),
     ]
 }
 
@@ -74,10 +80,10 @@ def load_zoo_model(name: str, torch_state_dict=None, npz_path=None):
     only."""
     entry = ZOO[name]
     cfg = get_config(entry.config_name)
-    if name == "flownet2":
+    if name in ("flownet2", "flownet2_cs", "flownet2_css"):
         from dataclasses import replace
 
-        cfg = replace(cfg, flow=replace(cfg.flow, variant="flownet2"))
+        cfg = replace(cfg, flow=replace(cfg.flow, variant=name))
     module = entry.build(cfg)
     variables = None
     if torch_state_dict is not None:

@@ -321,6 +321,35 @@ class FlowNet2Torch(nn.Module):
         return self.flownetfusion(fuse)
 
 
+class FlowNet2CSSTorch(nn.Module):
+    """Truncated cascade oracle: C -> S1 (stages=1, FlowNet2-CS) or
+    C -> S1 -> S2 (stages=2, FlowNet2-CSS); same inter-stage recipe as
+    FlowNet2Torch, output = last S stage's flow at full resolution."""
+
+    def __init__(self, stages=2, div_flow=20.0, md=20, s2=2):
+        super().__init__()
+        self.div_flow = div_flow
+        self.stages = stages
+        self.flownetc = FlowNetCTorch(md=md, s2=s2)
+        self.flownets_1 = FlowNetSTorch(in_ch=12)
+        if stages >= 2:
+            self.flownets_2 = FlowNetSTorch(in_ch=12)
+
+    def forward(self, x):
+        img1, img2 = x[:, :3], x[:, 3:]
+        flow = upsample4_torch(self.flownetc(x) * self.div_flow)
+
+        def stage_input(flow_full):
+            warped = resample2d_torch(img2, flow_full)
+            err = channelnorm_torch(img1 - warped)
+            return torch.cat([x, warped, flow_full / self.div_flow, err], 1)
+
+        for i in range(self.stages):
+            s = getattr(self, f"flownets_{i + 1}")
+            flow = upsample4_torch(s(stage_input(flow)) * self.div_flow)
+        return flow
+
+
 def random_net(cls, seed=0, **kw):
     torch.manual_seed(seed)
     m = cls(**kw)

@@ -74,6 +74,35 @@ def test_flownet2_full_cascade_golden(rng):
     np.testing.assert_allclose(out, ref, atol=2e-3, rtol=1e-3)
 
 
+@pytest.mark.slow
+@pytest.mark.parametrize("stages,variant", [(1, "flownet2_cs"),
+                                            (2, "flownet2_css")])
+def test_flownet2_cs_css_golden(rng, stages, variant):
+    """The lineage's truncated cascades (FlowNet2-CS / FlowNet2-CSS):
+    random torch oracle -> convert_flownet2 (same name map; absent subnets
+    skipped) -> flax FlowNet2CSS numerical parity at fp32."""
+    from tests.oracles.flownet_torch import FlowNet2CSSTorch, random_net
+    from flowtrack_tpu.models.flownet import FlowNet2CSS, get_flow_net
+    from flowtrack_tpu.config import FlowConfig
+
+    oracle = random_net(FlowNet2CSSTorch, seed=11, stages=stages)
+    x = rng.normal(0, 0.3, (1, 64, 64, 6)).astype(np.float32)
+    with torch.no_grad():
+        ref = oracle(torch.from_numpy(x).permute(0, 3, 1, 2)) \
+            .permute(0, 2, 3, 1).numpy()
+
+    variables = jax.tree.map(
+        jnp.asarray, convert_flownet2(state_dict_to_numpy(
+            oracle.state_dict())))
+    model = get_flow_net(FlowConfig(variant=variant, dtype="float32"))
+    assert isinstance(model, FlowNet2CSS) and model.stages == stages
+    out = np.asarray(jax.jit(
+        lambda v, x: model.apply(v, x, train=False))(variables,
+                                                     jnp.asarray(x)))
+    assert out.shape == ref.shape == (1, 64, 64, 2)
+    np.testing.assert_allclose(out, ref, atol=2e-3, rtol=1e-3)
+
+
 def test_fusion_forward_shapes(rng):
     x = jnp.asarray(rng.normal(0, 0.3, (1, 32, 32, 11)), jnp.float32)
     model = FlowNetFusion(dtype=jnp.float32)
