@@ -449,6 +449,71 @@ def run_train_accuracy_smoke():
     return stats["AP"]
 
 
+def run_train_bench():
+    """BENCH_TRAIN=1: pose-training throughput on the chip — samples/sec
+    for the donated jit train step (ResNet-50 @256x192, reference recipe:
+    Adam + JointsMSELoss with target weights; SURVEY.md section 4.1 hot
+    loop). Synthetic batches stay on device (one H2D outside the timed
+    region); prints one json line."""
+    import jax
+    import jax.numpy as jnp
+
+    from flowtrack_tpu.config import get_config
+    from flowtrack_tpu.engine.train import (create_train_state,
+                                            make_jit_train_step)
+    from flowtrack_tpu.models.pose_resnet import get_pose_net
+
+    cfg = get_config(BENCH_CFG)
+    bs = int(os.environ.get("BENCH_TRAIN_BATCH", cfg.train.batch_size))
+    ih, iw = cfg.model.image_size
+    hh, hw = cfg.model.heatmap_size
+    k = cfg.model.num_joints
+    rng = np.random.default_rng(0)
+    model = get_pose_net(cfg.model)
+    state = create_train_state(model, cfg, jax.random.PRNGKey(0),
+                               jnp.zeros((1, ih, iw, 3)))
+    step = make_jit_train_step(donate=True)
+    batch = {
+        "input": jnp.asarray(rng.normal(0, 1, (bs, ih, iw, 3)),
+                             jnp.float32),
+        "target": jnp.asarray(rng.uniform(0, 1, (bs, hh, hw, k)),
+                              jnp.float32),
+        "target_weight": jnp.ones((bs, k), jnp.float32),
+    }
+    del step  # timed via the in-jit scan below (CLAUDE.md: per-call relay
+    # dispatch overhead and unreliable block_until_ready corrupt loop-
+    # around-dispatch timings; chain steps inside ONE program instead)
+    from flowtrack_tpu.engine.train import train_step
+
+    steps = 8
+
+    def many_steps(state, batch):
+        def body(st, _):
+            st2, m = train_step(st, batch)
+            return st2, m["loss"]
+        _, losses = jax.lax.scan(body, state, None, length=steps)
+        return losses[-1]
+
+    ms_fn = jax.jit(many_steps)
+    _ = float(ms_fn(state, batch))  # compile
+    times = []
+    for r in range(2):
+        b2 = dict(batch)
+        b2["input"] = batch["input"] + r
+        t0 = time.perf_counter()
+        _ = float(ms_fn(state, b2))
+        times.append(time.perf_counter() - t0)
+    dt = min(times) / steps
+    print(json.dumps({
+        "metric": "pose_train_samples_per_sec_per_chip",
+        "value": round(bs / dt, 1),
+        "unit": f"samples/s (train, batch {bs}, {BENCH_CFG})",
+        "ms_per_step": round(1000 * dt, 2),
+        "platform": jax.devices()[0].platform,
+    }))
+    return bs / dt
+
+
 def run_oracle_bench():
     """Same per-frame work in torch-CPU (the measured denominator) —
     single source of truth lives in benchmarks/reference_oracle.py."""
@@ -470,6 +535,9 @@ def main():
         return
     if os.environ.get("BENCH_ACCURACY") == "train":
         run_train_accuracy_smoke()
+        return
+    if os.environ.get("BENCH_TRAIN") == "1":
+        run_train_bench()
         return
     mode = os.environ.get("BENCH_MODE", "clip")
     extras = {}

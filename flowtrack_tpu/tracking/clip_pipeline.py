@@ -384,14 +384,46 @@ class ClipTracker:
                 "scores": np.asarray(scores), "ids": ids, "valid": valid}
 
     def track_clip(self, frames: np.ndarray, det_boxes: np.ndarray,
-                   det_scores: np.ndarray, det_valid: np.ndarray):
+                   det_scores: np.ndarray, det_valid: np.ndarray,
+                   frame_sharding=None):
         """frames: (F, H, W, 3); det_boxes: (F, P, 4) xywh (padded);
         det_scores/det_valid: (F, P). Returns dict of numpy arrays over
         T = P + track.max_recovered candidate slots (the trailing slots are
         flow-recovered detector misses): joints (F, T, K, 2), maxvals
-        (F, T, K), scores (F, T), ids (F, T) (-1 = invalid), valid (F, T)."""
-        return self.to_host(self.run_prepared(
-            self.prepare(frames, det_boxes, det_scores, det_valid)))
+        (F, T, K), scores (F, T), ids (F, T) (-1 = invalid), valid (F, T).
+
+        ``frame_sharding`` (a NamedSharding over the FRAME axis, e.g.
+        ``parallel.batch_sharding(mesh)``) splits ONE clip across the mesh
+        — the sequence-dimension scaling analog (SURVEY.md section 6.7):
+        the heavy batched flow/pose calls run frame-parallel and XLA
+        inserts the (small) gathers the sequential id scan needs. The clip
+        is padded to a mesh-size multiple with invalid frames (masked
+        detections; trailing, so the id chain of real frames is
+        unaffected) and outputs are sliced back."""
+        f = frames.shape[0]
+        if frame_sharding is not None:
+            ndev = frame_sharding.mesh.size
+            pad = (-f) % ndev
+            if pad:
+                frames = np.concatenate(
+                    [frames, np.zeros((pad,) + frames.shape[1:],
+                                      frames.dtype)])
+                det_boxes = np.concatenate(
+                    [det_boxes, np.zeros((pad,) + det_boxes.shape[1:],
+                                         det_boxes.dtype)])
+                det_scores = np.concatenate(
+                    [det_scores, np.zeros((pad,) + det_scores.shape[1:],
+                                          det_scores.dtype)])
+                det_valid = np.concatenate(
+                    [det_valid, np.zeros((pad,) + det_valid.shape[1:],
+                                         bool)])
+        args = self.prepare(frames, det_boxes, det_scores, det_valid)
+        if frame_sharding is not None:
+            args = tuple(jax.device_put(a, frame_sharding) for a in args)
+        out = self.to_host(self.run_prepared(args))
+        if frame_sharding is not None:
+            out = {k: v[:f] for k, v in out.items()}
+        return out
 
 
 def pad_detections(per_frame_boxes, per_frame_scores, max_persons: int):

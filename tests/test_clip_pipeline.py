@@ -150,6 +150,43 @@ def test_sharded_clips_match_sequential():
                                    atol=1e-4)
 
 
+def test_frame_sharded_clip_matches_unsharded():
+    """ONE clip split across the 8-device mesh on the FRAME axis (the
+    sequence-dimension scaling analog, SURVEY.md section 6.7) must
+    reproduce the unsharded result — including a non-divisible frame
+    count, which is padded with invalid frames and sliced back."""
+    from flowtrack_tpu.parallel import batch_sharding, make_mesh
+
+    cfg = make_cfg()
+    tracker = ClipTracker(cfg, StubPose(), {}, StubFlow(), {})
+    mesh = make_mesh()
+
+    for f in (8, 6):  # divisible and ragged
+        frames = np.zeros((f, 64, 96, 3), np.float32)
+        boxes, scores = [], []
+        for t in range(f):
+            ax, ay = 20 + VEL[0] * t, 25 + VEL[1] * t
+            bx, by = 60 + VEL[0] * t, 30 + VEL[1] * t
+            boxes.append([[ax - 10, ay - 10, 20, 20],
+                          [bx - 10, by - 10, 20, 20]])
+            scores.append([0.9, 0.85])
+        db, dsc, dv = pad_detections(boxes, scores, cfg.track.max_persons)
+        want = tracker.track_clip(frames, db, dsc, dv)
+        got = tracker.track_clip(frames, db, dsc, dv,
+                                 frame_sharding=batch_sharding(mesh))
+        assert got["ids"].shape == want["ids"].shape == (
+            f, tracker.num_slots)
+        np.testing.assert_array_equal(got["ids"], want["ids"])
+        np.testing.assert_array_equal(got["valid"], want["valid"])
+        # joints are only contractual where valid (invalid recovery slots
+        # hold unspecified scatter contents, and the budgeted top_k can
+        # tie-break differently under sharding); partitioned matmuls also
+        # reassociate (~1e-6 relative wiggle)
+        v = want["valid"]
+        np.testing.assert_allclose(got["joints"][v], want["joints"][v],
+                                   rtol=1e-5, atol=1e-4)
+
+
 def _dropout_scenario(f=6, drop_frame=3):
     """Persons A and B move with VEL; B's detection is dropped at
     ``drop_frame``. Returns (frames, boxes, scores, gt_centers)."""
