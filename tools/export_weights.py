@@ -25,6 +25,8 @@ CONVERTERS = {
     "flownet_sd": tc.convert_flownet_sd,
     "flownet_fusion": tc.convert_flownet_fusion,
     "flownet2": tc.convert_flownet2,
+    "flownet2_cs": tc.convert_flownet2_cs,
+    "flownet2_css": tc.convert_flownet2_css,
 }
 
 
