@@ -82,14 +82,68 @@ def conv(features, kernel_size, strides=1, padding=0, use_bias=False,
     )
 
 
+class BatchNormTorch(nn.Module):
+    """torch.nn.BatchNorm2d twin, exact to torch's TRAIN semantics where
+    flax's nn.BatchNorm deviates (measured, tests/test_train_grad_parity):
+
+      * batch variance for normalization: two-pass E[(x-mean)^2] in fp32
+        (flax's default one-pass E[x^2]-E[x]^2 loses ~1e-3 through 50
+        layers and blows up gradient parity where few samples reduce);
+      * running_var update uses the UNBIASED (Bessel m/(m-1)) variance —
+        torch normalizes with the biased one but STORES the unbiased one;
+        flax stores biased.
+
+    Inference (use_running_average=True) is algebraically identical to
+    nn.BatchNorm; variable names (batch_stats/{mean,var}, params/
+    {scale,bias}) match it so converters and checkpoints are unchanged.
+    """
+
+    use_running_average: bool
+    momentum: float = 0.9
+    epsilon: float = 1e-5
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        feat = x.shape[-1]
+        ra_mean = self.variable("batch_stats", "mean",
+                                lambda s: jnp.zeros(s, jnp.float32), (feat,))
+        ra_var = self.variable("batch_stats", "var",
+                               lambda s: jnp.ones(s, jnp.float32), (feat,))
+        scale = self.param("scale", nn.initializers.ones, (feat,),
+                           jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (feat,),
+                          jnp.float32)
+
+        stat_dtype = jnp.promote_types(jnp.float32, x.dtype)
+        if self.use_running_average:
+            mean, var = ra_mean.value, ra_var.value
+        else:
+            axes = tuple(range(x.ndim - 1))
+            m = 1
+            for a in axes:
+                m *= x.shape[a]
+            xf = x.astype(stat_dtype)
+            mean = jnp.mean(xf, axes)
+            var = jnp.mean(jnp.square(xf - mean), axes)
+            if not self.is_initializing():
+                ra_mean.value = (self.momentum * ra_mean.value
+                                 + (1.0 - self.momentum) * mean)
+                bessel = m / max(m - 1, 1)
+                ra_var.value = (self.momentum * ra_var.value
+                                + (1.0 - self.momentum) * var * bessel)
+        inv = jax.lax.rsqrt(var + self.epsilon) * scale
+        y = (x.astype(stat_dtype) - mean) * inv + bias
+        return y.astype(self.dtype)
+
+
 def batch_norm(train, dtype=jnp.float32, name=None, momentum=0.9, eps=1e-5):
     """torch.nn.BatchNorm2d twin (torch momentum 0.1 == flax momentum 0.9)."""
-    return nn.BatchNorm(
+    return BatchNormTorch(
         use_running_average=not train,
         momentum=momentum,
         epsilon=eps,
         dtype=dtype,
-        param_dtype=jnp.float32,
         name=name,
     )
 

@@ -34,7 +34,9 @@ def load_torch_file(path: str) -> Dict[str, np.ndarray]:
 
 
 def state_dict_to_numpy(sd) -> Dict[str, np.ndarray]:
-    return {k.removeprefix("module."): v.detach().cpu().numpy()
+    # .numpy() ALIASES the tensor's memory — copy so the snapshot survives
+    # in-place mutation (e.g. BN running-stat updates on a later forward)
+    return {k.removeprefix("module."): v.detach().cpu().numpy().copy()
             for k, v in sd.items()}
 
 

@@ -1,0 +1,136 @@
+"""Training-step GRADIENT golden vs torch autograd.
+
+The forward goldens pin inference; this pins the TRAINING semantics the
+reference's headline capability rests on (SURVEY.md section 4.1): with
+identical weights and batch, d(JointsMSELoss)/d(params) through the full
+PoseResNet — train-mode BatchNorm (batch statistics in the normalization,
+gradients through them, models/layers.BatchNormTorch) and the torch-exact
+deconv layout in the backward — must match torch autograd
+parameter-for-parameter, and one train-mode forward must update the BN
+running stats identically (torch momentum 0.1 == flax momentum 0.9, and
+torch's Bessel-corrected running_var — flax's nn.BatchNorm stores the
+BIASED variance, which is why layers.py carries its own twin).
+
+Tolerances: the EXACT check runs at float64 in a subprocess
+(tests/oracles/grad_parity_x64.py, worst error ~2e-8; jax_enable_x64 is
+process-global so it cannot run in-suite). At float32 the backward through
+53 batch-stat normalizations with only n*h*w=8 samples in the deepest
+stage is ill-conditioned: a 1e-7 forward wiggle amplifies to ~3% on the
+stem gradient (measured, monotone with depth) — the in-process fp32 checks
+therefore bound loss/stats tightly but gradients only structurally."""
+
+import numpy as np
+import pytest
+import torch
+import jax
+import jax.numpy as jnp
+
+from flowtrack_tpu.config import ModelConfig
+from flowtrack_tpu.engine.loss import joints_mse_loss
+from flowtrack_tpu.models.pose_resnet import get_pose_net
+from flowtrack_tpu.utils.torch_convert import (convert_pose_resnet,
+                                               state_dict_to_numpy)
+
+
+def _torch_joints_mse(pred, target, tw):
+    n, k = pred.shape[0], pred.shape[1]
+    pred = (pred.reshape(n, k, -1) * tw[..., None])
+    target = (target.reshape(n, k, -1) * tw[..., None])
+    per_joint = 0.5 * ((pred - target) ** 2).mean(dim=(0, 2))
+    return per_joint.mean()
+
+
+@pytest.mark.slow
+def test_pose_train_gradients_match_torch():
+    from tests.oracles.pose_resnet_torch import random_pose_resnet
+
+    rng = np.random.default_rng(0)
+    oracle = random_pose_resnet(50, seed=9)
+    oracle.train()
+
+    n, k = 2, 17
+    x = rng.normal(0, 1, (n, 64, 64, 3)).astype(np.float32)
+    target = rng.uniform(0, 1, (n, 16, 16, k)).astype(np.float32)
+    tw = (rng.uniform(0, 1, (n, k)) > 0.3).astype(np.float32)
+
+    # --- torch: loss + grads + post-forward running stats
+    # capture weights + INIT running stats BEFORE the forward mutates them
+    full_sd = state_dict_to_numpy(oracle.state_dict())
+    xt = torch.from_numpy(x).permute(0, 3, 1, 2).requires_grad_(False)
+    tt = torch.from_numpy(target).permute(0, 3, 1, 2)
+    twt = torch.from_numpy(tw)
+    out = oracle(xt)
+    loss_t = _torch_joints_mse(out, tt, twt)
+    loss_t.backward()
+    loss_t = loss_t.detach()
+    grads_sd = {}
+    for name, p in oracle.named_parameters():
+        grads_sd[name] = p.grad.detach().numpy().copy()
+    # converter needs the full state dict layout: splice grads over params,
+    # keep BN buffers as-is (they land in batch_stats, ignored below)
+    grad_sd = {k: grads_sd.get(k, v) for k, v in full_sd.items()}
+    want_grads = convert_pose_resnet(grad_sd)["params"]
+
+    # --- jax: identical weights, same loss, jax.grad in train mode
+    variables = jax.tree.map(jnp.asarray, convert_pose_resnet(full_sd))
+    cfg = ModelConfig(num_layers=50, image_size=(64, 64),
+                      heatmap_size=(16, 16), dtype="float32")
+    model = get_pose_net(cfg)
+
+    def loss_fn(params):
+        out, mutated = model.apply(
+            {"params": params, "batch_stats": variables["batch_stats"]},
+            jnp.asarray(x), train=True, mutable=["batch_stats"])
+        return joints_mse_loss(out, jnp.asarray(target), jnp.asarray(tw)), \
+            mutated["batch_stats"]
+
+    (loss_j, new_stats), grads = jax.jit(
+        jax.value_and_grad(loss_fn, has_aux=True))(variables["params"])
+
+    assert abs(float(loss_j) - float(loss_t)) < 1e-5 * max(
+        1.0, abs(float(loss_t)))
+
+    # parameter-for-parameter gradient comparison
+    flat_want = {jax.tree_util.keystr(p): np.asarray(v) for p, v in
+                 jax.tree_util.tree_flatten_with_path(want_grads)[0]}
+    flat_got = {jax.tree_util.keystr(p): np.asarray(v) for p, v in
+                jax.tree_util.tree_flatten_with_path(grads)[0]}
+    assert set(flat_want) == set(flat_got)
+    gscale = max(np.abs(g).max() for g in flat_want.values())
+    worst = 0.0
+    for name, gw in flat_want.items():
+        gg = flat_got[name]
+        err = np.abs(gg - gw).max()
+        worst = max(worst, err)
+        # fp32 conditioning bound (see module docstring); fp64 is exact
+        assert err < 0.05 * max(gscale, 1e-3), (name, err, gscale)
+    assert worst > 0  # something nonzero actually compared
+
+    # --- BN running-stat updates after ONE train-mode forward
+    stats_t = convert_pose_resnet(
+        state_dict_to_numpy(oracle.state_dict()))["batch_stats"]
+    flat_t = {jax.tree_util.keystr(p): np.asarray(v) for p, v in
+              jax.tree_util.tree_flatten_with_path(stats_t)[0]}
+    flat_j = {jax.tree_util.keystr(p): np.asarray(v) for p, v in
+              jax.tree_util.tree_flatten_with_path(
+                  jax.tree.map(np.asarray, new_stats))[0]}
+    assert set(flat_t) == set(flat_j)
+    for name, vt in flat_t.items():
+        np.testing.assert_allclose(flat_j[name], vt, rtol=2e-4, atol=1e-5,
+                                   err_msg=name)
+
+
+@pytest.mark.slow
+def test_pose_train_gradients_exact_at_fp64():
+    """Subprocess fp64 run: torch autograd == jax.grad to < 1e-6 on every
+    parameter (measured ~2e-8) — the conditioning-free exactness check."""
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    root = Path(__file__).resolve().parents[1]
+    res = subprocess.run(
+        [sys.executable, str(root / "tests/oracles/grad_parity_x64.py")],
+        cwd=root, capture_output=True, text=True, timeout=1200)
+    assert res.returncode == 0, res.stderr[-2000:]
+    assert "fp64 grad parity OK" in res.stdout
