@@ -134,3 +134,52 @@ def test_pose_train_gradients_exact_at_fp64():
         cwd=root, capture_output=True, text=True, timeout=1200)
     assert res.returncode == 0, res.stderr[-2000:]
     assert "fp64 grad parity OK" in res.stdout
+
+
+@pytest.mark.slow
+def test_flownet_s_gradients_match_torch():
+    """FlowNetS training backward (conv/deconv/leaky-relu/concat chain +
+    EPE loss) vs torch autograd at fp32 — no BatchNorm in the default
+    FlowNetS, so fp32 is already tight."""
+    from flowtrack_tpu.engine.loss import epe
+    from flowtrack_tpu.models.flownet import FlowNetS
+    from flowtrack_tpu.utils.torch_convert import convert_flownet_s
+    from tests.oracles.flownet_torch import FlowNetSTorch, random_net
+
+    rng = np.random.default_rng(1)
+    oracle = random_net(FlowNetSTorch, seed=4)
+    oracle.train()
+    x = rng.normal(0, 0.3, (2, 64, 64, 6)).astype(np.float32)
+    gt = rng.normal(0, 1, (2, 16, 16, 2)).astype(np.float32)
+
+    sd = state_dict_to_numpy(oracle.state_dict())
+    xt = torch.from_numpy(x).permute(0, 3, 1, 2)
+    flow2 = oracle(xt)
+    gt_t = torch.from_numpy(gt).permute(0, 3, 1, 2)
+    loss_t = ((flow2 - gt_t) ** 2).sum(dim=1).sqrt().mean()
+    loss_t.backward()
+    grads_sd = {nm: p.grad.detach().numpy().copy()
+                for nm, p in oracle.named_parameters()}
+    want = convert_flownet_s(
+        {k: grads_sd.get(k, v) for k, v in sd.items()})["params"]
+
+    variables = jax.tree.map(jnp.asarray, convert_flownet_s(sd))
+    model = FlowNetS(dtype=jnp.float32)
+
+    def loss_fn(params):
+        out = model.apply({"params": params}, jnp.asarray(x), train=False)
+        return epe(out, jnp.asarray(gt))
+
+    loss_j, grads = jax.jit(jax.value_and_grad(loss_fn))(
+        variables["params"])
+    assert abs(float(loss_j) - float(loss_t.detach())) < 1e-5
+
+    flat_want = {jax.tree_util.keystr(p): np.asarray(v) for p, v in
+                 jax.tree_util.tree_flatten_with_path(want)[0]}
+    flat_got = {jax.tree_util.keystr(p): np.asarray(v) for p, v in
+                jax.tree_util.tree_flatten_with_path(grads)[0]}
+    assert set(flat_want) == set(flat_got)
+    gscale = max(np.abs(g).max() for g in flat_want.values())
+    for name, gw in flat_want.items():
+        err = np.abs(flat_got[name] - gw).max()
+        assert err < 1e-4 * max(gscale, 1e-3), (name, err, gscale)
