@@ -183,3 +183,59 @@ def test_flownet_s_gradients_match_torch():
     for name, gw in flat_want.items():
         err = np.abs(flat_got[name] - gw).max()
         assert err < 1e-4 * max(gscale, 1e-3), (name, err, gscale)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("variant", ["flownet_c", "flownet_sd"])
+def test_flownet_c_sd_gradients_match_torch(variant):
+    """FlowNetC (correlation cost volume in the backward, XLA formulation)
+    and FlowNetSD training gradients vs torch autograd at fp32."""
+    from flowtrack_tpu.engine.loss import epe
+    from flowtrack_tpu.models.flownet import FlowNetC, FlowNetSD
+    from flowtrack_tpu.utils.torch_convert import (convert_flownet_c,
+                                                   convert_flownet_sd)
+    from tests.oracles.flownet_torch import (FlowNetCTorch, FlowNetSDTorch,
+                                             random_net)
+
+    rng = np.random.default_rng(2)
+    if variant == "flownet_c":
+        oracle = random_net(FlowNetCTorch, seed=8)
+        model = FlowNetC(dtype=jnp.float32)
+        convert = convert_flownet_c
+    else:
+        oracle = random_net(FlowNetSDTorch, seed=8)
+        model = FlowNetSD(dtype=jnp.float32)
+        convert = convert_flownet_sd
+    oracle.train()
+    x = rng.normal(0, 0.3, (1, 64, 64, 6)).astype(np.float32)
+    gt = rng.normal(0, 1, (1, 16, 16, 2)).astype(np.float32)
+
+    sd = state_dict_to_numpy(oracle.state_dict())
+    xt = torch.from_numpy(x).permute(0, 3, 1, 2)
+    flow2 = oracle(xt)
+    gt_t = torch.from_numpy(gt).permute(0, 3, 1, 2)
+    loss_t = ((flow2 - gt_t) ** 2).sum(dim=1).sqrt().mean()
+    loss_t.backward()
+    grads_sd = {nm: p.grad.detach().numpy().copy()
+                for nm, p in oracle.named_parameters()}
+    want = convert({k: grads_sd.get(k, v) for k, v in sd.items()})["params"]
+
+    variables = jax.tree.map(jnp.asarray, convert(sd))
+
+    def loss_fn(params):
+        out = model.apply({"params": params}, jnp.asarray(x), train=False)
+        return epe(out, jnp.asarray(gt))
+
+    loss_j, grads = jax.jit(jax.value_and_grad(loss_fn))(
+        variables["params"])
+    assert abs(float(loss_j) - float(loss_t.detach())) < 2e-5
+
+    flat_want = {jax.tree_util.keystr(p): np.asarray(v) for p, v in
+                 jax.tree_util.tree_flatten_with_path(want)[0]}
+    flat_got = {jax.tree_util.keystr(p): np.asarray(v) for p, v in
+                jax.tree_util.tree_flatten_with_path(grads)[0]}
+    assert set(flat_want) == set(flat_got)
+    gscale = max(np.abs(g).max() for g in flat_want.values())
+    for name, gw in flat_want.items():
+        err = np.abs(flat_got[name] - gw).max()
+        assert err < 2e-4 * max(gscale, 1e-3), (name, err, gscale)
