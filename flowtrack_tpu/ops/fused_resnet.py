@@ -34,25 +34,25 @@ round-trip global memory the same way XLA does). SURVEY.md section 3
 PoseResNet row; run `BENCH_FUSED=1 python bench.py` to reproduce the
 headline comparison on hardware.
 
-Design per stage kernel:
+Design per stage kernel (final form — see _stage_kernel for the layout
+rationale):
   * grid over batch tiles (Bt crops/step); spatial extent is whole — no
     halos between grid steps;
   * 1x1 convs (conv1/conv3/downsample) are plain MXU matmuls over the
     (Bt*H*W, C) collapse;
-  * the 3x3 conv2 reads from a zero-bordered VMEM scratch (explicit pad):
-      - F < 128 (layer1): im2col — 9 shifted reads lane-concatenated to
-        K = 9F, one matmul (K=576 beats nine K=64 matmuls: the MXU contracts
-        128 rows/pass, so K=64 taps waste half the array);
-      - F >= 128: nine accumulated (K=F, N=F) tap matmuls — full MXU, no
-        9F-wide scratch;
-    stride-2 taps use even-extent reshape tricks (no strided slices:
-    Mosaic only supports unit-stride value slicing here);
+  * the 3x3 conv2 stages its 3 COLUMN taps side by side into a
+    zero-bordered "colpatch" VMEM scratch (stores re-layout; Mosaic cannot
+    lane-concatenate slices with mismatched spatial-offset layouts), then
+    contracts one kernel ROW per matmul (K=3F) — row taps are free offset
+    slices of the scratch;
+  * a striding first block runs through native XLA convs instead
+    (_block_conv_xla): the strided-tap Mosaic lowering measured both slow
+    and numerically wrong on hardware;
   * fp32 accumulation (preferred_element_type) + folded bias + ReLU, cast
     back to bf16 between matmuls; the residual joins in fp32;
   * stages whose folded weights exceed the VMEM budget are split into
-    chunks of whole blocks (one pallas_call each) — layer3 in 2-block
-    chunks, layer4 per block; the extra chunk-boundary HBM round trip is
-    the stage input/output tensor only.
+    chunks of whole blocks (one pallas_call each); the extra
+    chunk-boundary HBM round trip is the stage tensor only.
 
 `fused_stage_ref` is the jnp/XLA twin (same folded math) used as the CPU
 fallback and the golden reference for the kernel tests.
@@ -61,7 +61,7 @@ fallback and the golden reference for the kernel tests.
 from __future__ import annotations
 
 import functools
-from typing import Any, Sequence
+from typing import Sequence
 
 import jax
 import jax.numpy as jnp
