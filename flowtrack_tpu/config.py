@@ -230,6 +230,13 @@ PRESETS = {
     "coco_res101_384x288": _res(101, (384, 288), (96, 72), 3.0, "coco_res101_384x288"),
     "coco_res152_256x192": _res(152, (256, 192), (64, 48), 2.0, "coco_res152_256x192"),
     "coco_res152_384x288": _res(152, (384, 288), (96, 72), 3.0, "coco_res152_384x288"),
+    "mpii_res50_256x256": dataclasses.replace(
+        Config(name="mpii_res50_256x256",
+               model=ModelConfig(num_layers=50, image_size=(256, 256),
+                                 heatmap_size=(64, 64), sigma=2.0,
+                                 num_joints=MPII_NUM_JOINTS)),
+        data=DataConfig(dataset="mpii", root="data/mpii"),
+    ),
     "flownet_s": Config(name="flownet_s", flow=FlowConfig(variant="flownet_s")),
     "flownet_c": Config(name="flownet_c", flow=FlowConfig(variant="flownet_c")),
     "flowtrack_posetrack": dataclasses.replace(

@@ -50,3 +50,16 @@ def test_stage_timer_and_guard():
     assert s["a"]["count"] == 2 and s["a"]["total_s"] > 0
     assert "a" in t.dump()
     assert deterministic_guard()
+
+
+def test_mpii_preset_and_yaml_agree():
+    from flowtrack_tpu.config import MPII_NUM_JOINTS
+
+    cfg = get_config("mpii_res50_256x256")
+    assert cfg.model.num_joints == MPII_NUM_JOINTS == 16
+    assert cfg.model.image_size == (256, 256)
+    assert cfg.data.dataset == "mpii"
+    ycfg = get_config("experiments/mpii_res50_256x256.yaml")
+    assert ycfg.model.num_joints == 16
+    assert ycfg.model.heatmap_size == (64, 64)
+    assert ycfg.data.dataset == "mpii"
