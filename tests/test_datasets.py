@@ -217,3 +217,56 @@ def test_soft_nms_eval_path(coco_root):
     stats, results = ds.evaluate(preds, maxvals, scores, ids)
     assert stats["AP"] > 0.95
     assert len(results) > 0
+
+
+class TestMPIIEvalSlice:
+    def test_mpii_decode_round_trip_pckh(self, tmp_path, rng):
+        """MPII e2e eval slice (the COCO AP~1 slice's 16-joint twin):
+        fixture -> dataset eval items -> GT-planted heatmaps on the crop ->
+        on-device decode (argmax + quarter px + inverse affine) ->
+        PCKh@0.5 == 1.0."""
+        import json
+        import os
+
+        import jax.numpy as jnp
+
+        from flowtrack_tpu.ops.affine import (affine_transform,
+                                              get_affine_transform)
+        from flowtrack_tpu.ops.decode import get_final_preds
+        from flowtrack_tpu.ops.heatmap import generate_target_np
+        from tests.fixtures import draw_person, save_image, synth_pose
+
+        os.makedirs(tmp_path / "annot", exist_ok=True)
+        os.makedirs(tmp_path / "images", exist_ok=True)
+        anns = []
+        for i in range(3):
+            joints = synth_pose(rng, 150, 120, size=70)[:16]
+            img = np.zeros((240, 320, 3), np.uint8)
+            draw_person(img, joints)
+            save_image(str(tmp_path / "images" / f"{i}.png"), img)
+            anns.append({"image": f"{i}.png", "center": [150.0, 120.0],
+                         "scale": 0.8, "joints": joints.tolist(),
+                         "joints_vis": [1] * 16})
+        with open(tmp_path / "annot" / "valid.json", "w") as f:
+            json.dump(anns, f)
+
+        cfg = Config(model=ModelConfig(image_size=(256, 256),
+                                       heatmap_size=(64, 64),
+                                       num_joints=16, sigma=2.0))
+        ds = MPIIDataset(cfg, str(tmp_path), "valid", is_train=False)
+        hms, centers, scales = [], [], []
+        for rec in ds.db:
+            trans = get_affine_transform(rec["center"], rec["scale"], 0.0,
+                                         (256, 256))
+            jc = affine_transform(np.asarray(rec["joints"]), trans)
+            hm, _ = generate_target_np(jc, rec["joints_vis"], (64, 64),
+                                       (256, 256), cfg.model.sigma)
+            hms.append(hm)
+            centers.append(rec["center"])
+            scales.append(rec["scale"])
+        preds, maxvals = get_final_preds(
+            jnp.asarray(np.stack(hms)),
+            jnp.asarray(np.stack(centers), jnp.float32),
+            jnp.asarray(np.stack(scales), jnp.float32))
+        stats = ds.evaluate(np.asarray(preds))
+        assert stats["Mean"] == 1.0, stats
