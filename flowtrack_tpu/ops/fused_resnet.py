@@ -71,8 +71,10 @@ from jax.experimental.pallas import tpu as pltpu
 
 from flowtrack_tpu.models.pose_resnet import RESNET_SPECS
 
-# Per-chunk folded-weight budget (bytes, bf16). VMEM is ~16MB/core; leave
-# room for the double-buffered IO blocks and the conv2 scratch.
+# Per-chunk folded-weight budget (bytes, bf16). The kernel raises Mosaic's
+# scoped-vmem limit to 100MB (CompilerParams), but weights are re-fetched
+# per grid step unless they fit comfortably next to the double-buffered IO
+# blocks and colpatch scratch — keep chunks small.
 _WEIGHT_BUDGET = 6 * 2 ** 20
 
 
@@ -305,9 +307,9 @@ def _pick_bt(h, w, cin, f, batch):
         if batch % bt:
             continue
         # io blocks are double-buffered by the pipeline; scratch is the
-        # (Bt, H+2, W, 3F) colpatch (+ the stride pad buffer upper bound)
+        # (Bt, H+2, W, 3F) colpatch
         io = 2 * 2 * bt * h * w * max(cin, 4 * f) * 2
-        scratch = bt * (h + 2) * w * 3 * f * 2 + bt * (h + 2) * (w + 2) * f * 2
+        scratch = bt * (h + 2) * w * 3 * f * 2
         if io + scratch < 40 * 2 ** 20:
             return bt
     return 1
