@@ -397,3 +397,42 @@ def test_pad_detections():
     assert v[0].tolist() == [True, False]
     # frame 1 keeps the 2 highest-scoring of 3
     np.testing.assert_allclose(sorted(s[1].tolist()), [0.7, 0.8], rtol=1e-6)
+
+
+def test_2d_mesh_clip_by_frame_sharding():
+    """Clips x frames over a 2-D (2, 4) device mesh: the batched-clips
+    program accepts a NamedSharding that splits the CLIP dim across one
+    axis and each clip's FRAME dim across the other — the combined
+    serving layout (clip-parallel throughput + frame-parallel latency).
+    Results must match the per-clip unsharded loop."""
+    import jax
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    cfg = make_cfg()
+    tracker = ClipTracker(cfg, StubPose(), {}, StubFlow(), {})
+    devs = np.asarray(jax.devices()[:8]).reshape(2, 4)
+    mesh = Mesh(devs, ("clip", "frame"))
+    sharding = NamedSharding(mesh, P("clip", "frame"))
+
+    c, f = 2, 4
+    frames = np.zeros((c, f, 64, 96, 3), np.float32)
+    boxes = np.zeros((c, f, cfg.track.max_persons, 4), np.float32)
+    scores = np.zeros((c, f, cfg.track.max_persons), np.float32)
+    valid = np.zeros((c, f, cfg.track.max_persons), bool)
+    for i in range(c):
+        for t in range(f):
+            ax = 18 + 3 * i + VEL[0] * t
+            ay = 24 + 2 * i + VEL[1] * t
+            boxes[i, t, 0] = [ax - 10, ay - 10, 20, 20]
+            scores[i, t, 0] = 0.9
+            valid[i, t, 0] = True
+
+    out = tracker.track_clips(frames, boxes, scores, valid,
+                              sharding=sharding)
+    for i in range(c):
+        want = tracker.track_clip(frames[i], boxes[i], scores[i], valid[i])
+        np.testing.assert_array_equal(out["ids"][i], want["ids"])
+        np.testing.assert_array_equal(out["valid"][i], want["valid"])
+        v = want["valid"]
+        np.testing.assert_allclose(out["joints"][i][v], want["joints"][v],
+                                   rtol=1e-5, atol=1e-4)
