@@ -436,3 +436,25 @@ def test_2d_mesh_clip_by_frame_sharding():
         v = want["valid"]
         np.testing.assert_allclose(out["joints"][i][v], want["joints"][v],
                                    rtol=1e-5, atol=1e-4)
+
+
+def test_uint8_frames_match_float32():
+    """Video frames can stay uint8 end-to-end (4x less H2D than fp32 —
+    the crop/flow paths cast on DEVICE); results must equal fp32 input."""
+    cfg = make_cfg()
+    tracker = ClipTracker(cfg, StubPose(), {}, StubFlow(), {})
+    f = 4
+    rng = np.random.default_rng(0)
+    frames8 = rng.integers(0, 256, (f, 64, 96, 3), dtype=np.uint8)
+    boxes, scores = [], []
+    for t in range(f):
+        ax, ay = 20 + VEL[0] * t, 25 + VEL[1] * t
+        boxes.append([[ax - 10, ay - 10, 20, 20]])
+        scores.append([0.9])
+    db, dsc, dv = pad_detections(boxes, scores, cfg.track.max_persons)
+    got = tracker.track_clip(frames8, db, dsc, dv)
+    want = tracker.track_clip(frames8.astype(np.float32), db, dsc, dv)
+    np.testing.assert_array_equal(got["ids"], want["ids"])
+    v = want["valid"]
+    np.testing.assert_allclose(got["joints"][v], want["joints"][v],
+                               rtol=1e-6, atol=1e-5)
