@@ -402,8 +402,7 @@ def run_train_accuracy_smoke():
     from flowtrack_tpu.config import (Config, ModelConfig, TestConfig,
                                       TrainConfig)
     from flowtrack_tpu.data import BatchLoader, COCODataset
-    from flowtrack_tpu.engine.train import (create_train_state,
-                                            make_jit_train_step)
+    from flowtrack_tpu.engine.train import create_train_state
     from flowtrack_tpu.models.pose_resnet import get_pose_net
     from tests.fixtures import make_coco_fixture
     from tools.test import run_validation
@@ -459,8 +458,7 @@ def run_train_bench():
     import jax.numpy as jnp
 
     from flowtrack_tpu.config import get_config
-    from flowtrack_tpu.engine.train import (create_train_state,
-                                            make_jit_train_step)
+    from flowtrack_tpu.engine.train import create_train_state
     from flowtrack_tpu.models.pose_resnet import get_pose_net
 
     cfg = get_config(BENCH_CFG)
@@ -472,7 +470,6 @@ def run_train_bench():
     model = get_pose_net(cfg.model)
     state = create_train_state(model, cfg, jax.random.PRNGKey(0),
                                jnp.zeros((1, ih, iw, 3)))
-    step = make_jit_train_step(donate=True)
     batch = {
         "input": jnp.asarray(rng.normal(0, 1, (bs, ih, iw, 3)),
                              jnp.float32),
@@ -480,9 +477,9 @@ def run_train_bench():
                               jnp.float32),
         "target_weight": jnp.ones((bs, k), jnp.float32),
     }
-    del step  # timed via the in-jit scan below (CLAUDE.md: per-call relay
-    # dispatch overhead and unreliable block_until_ready corrupt loop-
-    # around-dispatch timings; chain steps inside ONE program instead)
+    # timed via an in-jit scan (CLAUDE.md: per-call relay dispatch overhead
+    # and unreliable block_until_ready corrupt loop-around-dispatch
+    # timings; chain steps inside ONE program instead)
     from flowtrack_tpu.engine.train import train_step
 
     steps = 8

@@ -133,26 +133,20 @@ def run_matmul_ceiling(rng):
 
 def _fold_blocks(params, stats, nb):
     from flowtrack_tpu.models.quantize import _fold
+    from flowtrack_tpu.ops.fused_resnet import block_from_folded
     blocks = []
     for bi in range(nb):
         bp, bs = params[f"b{bi}"], stats[f"b{bi}"]
-        blk = {}
-        for ci, (wk, bk) in zip(("conv1", "conv2", "conv3"),
-                                (("w1", "b1"), ("w2", "b2"), ("w3", "b3"))):
+        node = {}
+        for ci in ("conv1", "conv2", "conv3"):
             bn = "bn" + ci[-1]
             k, b = _fold(bp[ci]["kernel"], {**bp[bn], **bs[bn]})
-            k = jnp.asarray(k)
-            k = (k.reshape(k.shape[2], k.shape[3]) if k.shape[0] == 1
-                 else k.reshape(3, 3 * k.shape[2], k.shape[3]))
-            blk[wk] = k.astype(DT)
-            blk[bk] = jnp.asarray(b, jnp.float32).reshape(1, -1)
+            node[ci] = {"kernel": k, "bias": b}
         if "downsample_conv" in bp:
             k, b = _fold(bp["downsample_conv"]["kernel"],
                          {**bp["downsample_bn"], **bs["downsample_bn"]})
-            blk["wd"] = jnp.asarray(k).reshape(
-                k.shape[2], k.shape[3]).astype(DT)
-            blk["bd"] = jnp.asarray(b, jnp.float32).reshape(1, -1)
-        blocks.append(blk)
+            node["downsample_conv"] = {"kernel": k, "bias": b}
+        blocks.append(block_from_folded(node))
     return blocks
 
 
@@ -163,9 +157,11 @@ def run_fused(rng, rngk):
         v = jax.jit(mod.init)(rngk, x[:1])
         blocks = _fold_blocks(v["params"], v["batch_stats"],
                               mod.num_blocks)
+        # weights go through as ARGUMENTS (CLAUDE.md: closed-over weights
+        # become program constants and can trip the relay's 100MB limit)
         ms = measure(
-            lambda x, blocks=blocks, stride=stride:
-            fused_stage_pallas(x, blocks, stride), x)
+            lambda x, blocks, stride=stride:
+            fused_stage_pallas(x, blocks, stride), x, blocks)
         print(json.dumps({"probe": "pallas_fused", "stage": name,
                           "ms": round(ms, 2)}))
 

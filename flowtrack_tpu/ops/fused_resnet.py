@@ -94,6 +94,23 @@ def _as_matmul(kernel):
     return k.reshape(kh, kw * cin, cout)
 
 
+def block_from_folded(node: dict) -> dict:
+    """One folded block's {conv1/conv2/conv3[/downsample_conv]:
+    {kernel, bias}} -> the kernel's w1..bd dict (single source of the
+    matmul weight layout; used by tests and probes too)."""
+    blk = {}
+    for ci, (wk, bk) in zip(("conv1", "conv2", "conv3"),
+                            (("w1", "b1"), ("w2", "b2"), ("w3", "b3"))):
+        blk[wk] = _as_matmul(node[ci]["kernel"]).astype(jnp.bfloat16)
+        blk[bk] = jnp.asarray(node[ci]["bias"], jnp.float32).reshape(1, -1)
+    if "downsample_conv" in node:
+        blk["wd"] = _as_matmul(
+            node["downsample_conv"]["kernel"]).astype(jnp.bfloat16)
+        blk["bd"] = jnp.asarray(node["downsample_conv"]["bias"],
+                                jnp.float32).reshape(1, -1)
+    return blk
+
+
 def stage_blocks_from_folded(folded: dict, num_layers: int):
     """models/quantize.fold_pose_resnet output -> per-stage block params.
 
@@ -103,22 +120,8 @@ def stage_blocks_from_folded(folded: dict, num_layers: int):
     _, stage_sizes = RESNET_SPECS[num_layers]
     stages = []
     for si, nblocks in enumerate(stage_sizes):
-        blocks = []
-        for bi in range(nblocks):
-            node = folded[f"layer{si + 1}_{bi}"]
-            blk = {}
-            for ci, (wk, bk) in zip(("conv1", "conv2", "conv3"),
-                                    (("w1", "b1"), ("w2", "b2"),
-                                     ("w3", "b3"))):
-                blk[wk] = _as_matmul(node[ci]["kernel"]).astype(jnp.bfloat16)
-                blk[bk] = jnp.asarray(node[ci]["bias"],
-                                      jnp.float32).reshape(1, -1)
-            if "downsample_conv" in node:
-                blk["wd"] = _as_matmul(
-                    node["downsample_conv"]["kernel"]).astype(jnp.bfloat16)
-                blk["bd"] = jnp.asarray(node["downsample_conv"]["bias"],
-                                        jnp.float32).reshape(1, -1)
-            blocks.append(blk)
+        blocks = [block_from_folded(folded[f"layer{si + 1}_{bi}"])
+                  for bi in range(nblocks)]
         stages.append(blocks)
     return stages
 

@@ -36,6 +36,26 @@ def _bilinear_sample_clamp(img, sx, sy):
     wy = 1, i.e. full weight on the bottom row)."""
     h, w = img.shape[0], img.shape[1]
     c = img.shape[2]
+    if h < 2 or w < 2:
+        # degenerate fields: a (2,2) slice would exceed the operand; the
+        # clamped sample is just the single row/col value
+        sx = jnp.clip(sx, 0.0, w - 1.0)
+        sy = jnp.clip(sy, 0.0, h - 1.0)
+        if h == 1 and w == 1:
+            return jnp.broadcast_to(img[0, 0], sx.shape + (c,))
+        if h == 1:
+            # single row: 1-D bilinear along x
+            x0 = jnp.minimum(jnp.floor(sx), w - 2.0)
+            wx = (sx - x0)[..., None].astype(img.dtype)
+            xi = x0.astype(jnp.int32)
+            row = img[0]
+            return row[xi] * (1 - wx) + row[xi + 1] * wx
+        # single column: 1-D bilinear along y
+        y0 = jnp.minimum(jnp.floor(sy), h - 2.0)
+        wy = (sy - y0)[..., None].astype(img.dtype)
+        yi = y0.astype(jnp.int32)
+        col = img[:, 0]
+        return col[yi] * (1 - wy) + col[yi + 1] * wy
     sx = jnp.clip(sx, 0.0, w - 1.0)
     sy = jnp.clip(sy, 0.0, h - 1.0)
     x0 = jnp.minimum(jnp.floor(sx), w - 2.0)

@@ -139,7 +139,7 @@ class ClipTracker:
             return preds, maxvals, scores
 
         def recovery_pass(pose_vars, frames, preds, valid, scores,
-                          det_boxes, flows):
+                          det_boxes, flows, frame_valid):
             """Stages 3a/3b (module docstring): emit flow-propagated boxes
             for OKS-unmatched tracks, pose the clip-wide top-budget boxes in
             one dense batch, scatter back to (F, R) candidate slots."""
@@ -151,7 +151,7 @@ class ClipTracker:
 
             def gen_step(carry, xs):
                 tj, tv, ts, ta = carry
-                dj, dv, ds, dbox, flow_t = xs
+                dj, dv, ds, dbox, flow_t, fv_t = xs
                 prop = propagate_poses(tj, flow_t)
                 sim = oks_matrix(prop, pose_area(prop), dj, pose_area(dj))
                 assign = greedy_match(sim, thr, tv, dv)          # (p,)
@@ -160,7 +160,10 @@ class ClipTracker:
                     & (assign >= 0)[None, :], axis=1)
                 miss = tv & ~row_matched & (ta < tcfg.max_miss_age)
                 top_s, top_i = jax.lax.top_k(jnp.where(miss, ts, neg), r)
-                rec_v = jnp.isfinite(top_s)
+                # padded (invalid) frames must not emit candidates: they
+                # would carry real track scores into the clip-wide budgeted
+                # top_k and could evict genuine recoveries on real frames
+                rec_v = jnp.isfinite(top_s) & fv_t
                 rec_j = prop[top_i]
                 rec_s = ts[top_i]
                 rec_a = ta[top_i] + 1
@@ -185,7 +188,8 @@ class ClipTracker:
                 jnp.zeros((t_slots,), jnp.int32))
             _, (rec_box, rec_v, rec_s) = jax.lax.scan(
                 gen_step, carry0,
-                (preds[1:], valid[1:], scores[1:], det_boxes[1:], flows))
+                (preds[1:], valid[1:], scores[1:], det_boxes[1:], flows,
+                 frame_valid[1:]))
             # frame 0 has no previous tracks to recover from
             rec_box = jnp.concatenate([jnp.zeros((1, r, 4)), rec_box])
             rec_v = jnp.concatenate([jnp.zeros((1, r), bool), rec_v])
@@ -221,7 +225,7 @@ class ClipTracker:
                     rec_valid.reshape(f, r))
 
         def clip_fn(pose_vars, flow_vars, frames, centers, scales,
-                    det_scores, det_valid, det_boxes):
+                    det_scores, det_valid, det_boxes, frame_valid):
             f, h, w, _ = frames.shape
             p = centers.shape[1]
 
@@ -265,7 +269,7 @@ class ClipTracker:
             if recover and f > 1:
                 rec_preds, rec_maxvals, rec_scores, rec_valid = \
                     recovery_pass(pose_vars, frames, preds, valid, scores,
-                                  det_boxes, flows)
+                                  det_boxes, flows, frame_valid)
                 preds = jnp.concatenate([preds, rec_preds], axis=1)
                 maxvals = jnp.concatenate([maxvals, rec_maxvals], axis=1)
                 scores = jnp.concatenate([scores, rec_scores], axis=1)
@@ -309,16 +313,19 @@ class ClipTracker:
         # shard it across the mesh and XLA runs one clip per device group
         # (the multi-chip serving layout — SURVEY.md section 6.8)
         self._clips_fn = jax.jit(
-            jax.vmap(clip_fn, in_axes=(None, None, 0, 0, 0, 0, 0, 0)))
+            jax.vmap(clip_fn, in_axes=(None, None, 0, 0, 0, 0, 0, 0, 0)))
         self.pose_vars = pose_vars
         self.flow_vars = flow_vars
 
     def prepare(self, frames: np.ndarray, det_boxes: np.ndarray,
-                det_scores: np.ndarray, det_valid: np.ndarray):
+                det_scores: np.ndarray, det_valid: np.ndarray,
+                frame_valid: Optional[np.ndarray] = None):
         """Host prep + H2D: returns the device-resident arg tuple for
         run_prepared. Split out so callers can overlap the transfer of clip
         t+1 with the compute of clip t (data/loader.device_prefetch style)."""
         f, p = det_scores.shape
+        if frame_valid is None:
+            frame_valid = np.ones((f,), bool)
         k = max(1, self.cfg.track.keyframe_interval)
         if k > 1:
             # keyframe-detection mode: non-keyframe detections are masked;
@@ -343,7 +350,8 @@ class ClipTracker:
                 jnp.asarray(scales),
                 jnp.asarray(det_scores, jnp.float32),
                 jnp.asarray(det_valid, bool),
-                jnp.asarray(boxes_xyxy))
+                jnp.asarray(boxes_xyxy),
+                jnp.asarray(frame_valid, bool))
 
     def run_prepared(self, device_args):
         """Device-side tracking of a prepared clip; returns device arrays.
@@ -372,7 +380,7 @@ class ClipTracker:
         c = frames.shape[0]
         prepped = [self.prepare(frames[i], det_boxes[i], det_scores[i],
                                 det_valid[i]) for i in range(c)]
-        args = [jnp.stack([p[j] for p in prepped]) for j in range(6)]
+        args = [jnp.stack([p[j] for p in prepped]) for j in range(7)]
         if sharding is not None:
             args = [jax.device_put(a, sharding) for a in args]
         preds, maxvals, scores, ids, valid = self._clips_fn(
@@ -400,24 +408,20 @@ class ClipTracker:
         is padded to a mesh-size multiple with invalid frames (masked
         detections; trailing, so the id chain of real frames is
         unaffected) and outputs are sliced back."""
+        from flowtrack_tpu.parallel import pad_to_multiple
+
         f = frames.shape[0]
+        frame_valid = np.ones((f,), bool)
         if frame_sharding is not None:
             ndev = frame_sharding.mesh.size
-            pad = (-f) % ndev
-            if pad:
-                frames = np.concatenate(
-                    [frames, np.zeros((pad,) + frames.shape[1:],
-                                      frames.dtype)])
-                det_boxes = np.concatenate(
-                    [det_boxes, np.zeros((pad,) + det_boxes.shape[1:],
-                                         det_boxes.dtype)])
-                det_scores = np.concatenate(
-                    [det_scores, np.zeros((pad,) + det_scores.shape[1:],
-                                          det_scores.dtype)])
-                det_valid = np.concatenate(
-                    [det_valid, np.zeros((pad,) + det_valid.shape[1:],
-                                         bool)])
-        args = self.prepare(frames, det_boxes, det_scores, det_valid)
+            frames, _ = pad_to_multiple(np.asarray(frames), ndev)
+            det_boxes, _ = pad_to_multiple(np.asarray(det_boxes), ndev)
+            det_scores, _ = pad_to_multiple(np.asarray(det_scores), ndev)
+            det_valid, _ = pad_to_multiple(
+                np.asarray(det_valid, bool), ndev)
+            frame_valid, _ = pad_to_multiple(frame_valid, ndev)
+        args = self.prepare(frames, det_boxes, det_scores, det_valid,
+                            frame_valid)
         if frame_sharding is not None:
             args = tuple(jax.device_put(a, frame_sharding) for a in args)
         out = self.to_host(self.run_prepared(args))

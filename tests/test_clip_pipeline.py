@@ -187,6 +187,38 @@ def test_frame_sharded_clip_matches_unsharded():
                                    rtol=1e-5, atol=1e-4)
 
 
+def test_frame_sharded_clip_recovery_matches_unsharded():
+    """Detector-miss recovery under frame sharding: the PAD frames of a
+    ragged clip must not emit phantom recovery candidates (they carry real
+    track scores and would compete in the clip-wide budgeted top_k,
+    evicting genuine recoveries on real frames — round-2 review finding).
+    A dropped detection must be recovered with the same id sharded and
+    unsharded."""
+    from flowtrack_tpu.parallel import batch_sharding, make_mesh
+
+    cfg = make_cfg()
+    # a TIGHT recovery budget (1 crop per 8 frames) so a single phantom
+    # candidate would evict the genuine one
+    cfg = replace(cfg, track=replace(cfg.track, max_recovered=1,
+                                     recover_budget=0.125))
+    tracker = ClipTracker(cfg, StubPose(), {}, StubFlow(), {})
+    mesh = make_mesh()
+
+    f, drop_frame = 6, 3  # ragged vs 8 devices -> 2 pad frames
+    frames, boxes, scores, _ = _dropout_scenario(f, drop_frame)
+    db, dsc, dv = pad_detections(boxes, scores, cfg.track.max_persons)
+    want = tracker.track_clip(frames, db, dsc, dv)
+    got = tracker.track_clip(frames, db, dsc, dv,
+                             frame_sharding=batch_sharding(mesh))
+    np.testing.assert_array_equal(got["ids"], want["ids"])
+    np.testing.assert_array_equal(got["valid"], want["valid"])
+    # the dropped person IS recovered (same id through the gap) on both
+    ids_before = want["ids"][drop_frame - 1]
+    ids_at = want["ids"][drop_frame]
+    b_id = ids_before[1]
+    assert b_id >= 0 and b_id in ids_at, (ids_before, ids_at)
+
+
 def _dropout_scenario(f=6, drop_frame=3):
     """Persons A and B move with VEL; B's detection is dropped at
     ``drop_frame``. Returns (frames, boxes, scores, gt_centers)."""

@@ -24,30 +24,22 @@ from flowtrack_tpu.ops.fused_resnet import (
 
 
 def _fold_stage(params, stats, nb):
-    """Flax stage variables -> fused block params (same layout as
-    stage_blocks_from_folded)."""
+    """Flax stage variables -> fused block params via the kernel's own
+    layout helper (block_from_folded — single source of truth)."""
+    from flowtrack_tpu.ops.fused_resnet import block_from_folded
     blocks = []
     for bi in range(nb):
         bp, bs = params[f"layer9_{bi}"], stats[f"layer9_{bi}"]
-        blk = {}
-        for ci, (wk, bk) in zip(("conv1", "conv2", "conv3"),
-                                (("w1", "b1"), ("w2", "b2"), ("w3", "b3"))):
+        node = {}
+        for ci in ("conv1", "conv2", "conv3"):
             bn = "bn" + ci[-1]
             k, b = _fold(bp[ci]["kernel"], {**bp[bn], **bs[bn]})
-            k = jnp.asarray(k)
-            if k.shape[0] == 1:
-                k = k.reshape(k.shape[2], k.shape[3])
-            else:
-                k = k.reshape(3, 3 * k.shape[2], k.shape[3])
-            blk[wk] = k.astype(jnp.bfloat16)
-            blk[bk] = jnp.asarray(b, jnp.float32).reshape(1, -1)
+            node[ci] = {"kernel": k, "bias": b}
         if "downsample_conv" in bp:
             k, b = _fold(bp["downsample_conv"]["kernel"],
                          {**bp["downsample_bn"], **bs["downsample_bn"]})
-            blk["wd"] = jnp.asarray(k).reshape(
-                k.shape[2], k.shape[3]).astype(jnp.bfloat16)
-            blk["bd"] = jnp.asarray(b, jnp.float32).reshape(1, -1)
-        blocks.append(blk)
+            node["downsample_conv"] = {"kernel": k, "bias": b}
+        blocks.append(block_from_folded(node))
     return blocks
 
 

@@ -239,3 +239,32 @@ def test_flownet_c_sd_gradients_match_torch(variant):
     for name, gw in flat_want.items():
         err = np.abs(flat_got[name] - gw).max()
         assert err < 2e-4 * max(gscale, 1e-3), (name, err, gscale)
+
+
+@pytest.mark.parametrize("dt", ["bfloat16", "float32"])
+def test_batchnorm_torch_eval_bitwise_vs_flax(rng, dt):
+    """BatchNormTorch's EVAL path must stay bitwise-identical to the flax
+    nn.BatchNorm it replaced, at both dtypes (flax with the default
+    force_float32_reductions computes in fp32 and casts at the end —
+    exactly this module's formulation; pinned here so the 'inference
+    unchanged' claim is guarded, round-2 review finding)."""
+    import flax.linen as nn
+
+    from flowtrack_tpu.models.layers import BatchNormTorch
+
+    dtype = jnp.dtype(dt)
+    x = jnp.asarray(rng.normal(0, 1, (4, 8, 8, 32)), dtype)
+    v = {"params": {"scale": jnp.asarray(rng.uniform(0.5, 1.5, 32),
+                                         jnp.float32),
+                    "bias": jnp.asarray(rng.normal(0, 0.2, 32),
+                                        jnp.float32)},
+         "batch_stats": {"mean": jnp.asarray(rng.normal(0, 0.3, 32),
+                                             jnp.float32),
+                         "var": jnp.asarray(rng.uniform(0.5, 1.5, 32),
+                                            jnp.float32)}}
+    old = nn.BatchNorm(use_running_average=True, momentum=0.9,
+                       epsilon=1e-5, dtype=dtype, param_dtype=jnp.float32)
+    new = BatchNormTorch(use_running_average=True, momentum=0.9,
+                         epsilon=1e-5, dtype=dtype)
+    np.testing.assert_array_equal(np.asarray(old.apply(v, x), np.float32),
+                                  np.asarray(new.apply(v, x), np.float32))
