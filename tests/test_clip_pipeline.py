@@ -490,3 +490,37 @@ def test_uint8_frames_match_float32():
     v = want["valid"]
     np.testing.assert_allclose(got["joints"][v], want["joints"][v],
                                rtol=1e-6, atol=1e-5)
+
+
+def test_keyframe_mode_frame_sharded_matches_unsharded():
+    """Keyframe-detection mode (detector every k frames; persons survive
+    the gaps via recovery slots) under FRAME sharding — the configuration
+    most dependent on the padded-frame recovery gating: every non-keyframe
+    person rides the same budgeted top_k the phantoms would poison."""
+    from flowtrack_tpu.parallel import batch_sharding, make_mesh
+
+    cfg = make_cfg()
+    cfg = replace(cfg, track=replace(cfg.track, keyframe_interval=2,
+                                     max_miss_age=2))
+    tracker = ClipTracker(cfg, StubPose(), {}, StubFlow(), {})
+    mesh = make_mesh()
+
+    f = 6  # ragged vs 8 devices
+    frames = np.zeros((f, 128, 160, 3), np.float32)
+    boxes, scores = [], []
+    for t in range(f):
+        ax, ay = 40 + VEL[0] * t, 50 + VEL[1] * t
+        boxes.append([[ax - 15, ay - 15, 30, 30]])
+        scores.append([0.9])
+    db, dsc, dv = pad_detections(boxes, scores, cfg.track.max_persons)
+    want = tracker.track_clip(frames, db, dsc, dv)
+    got = tracker.track_clip(frames, db, dsc, dv,
+                             frame_sharding=batch_sharding(mesh))
+    np.testing.assert_array_equal(got["ids"], want["ids"])
+    np.testing.assert_array_equal(got["valid"], want["valid"])
+    # the person is tracked through every frame (recovery covers the
+    # non-keyframe gaps) with one stable id on both paths
+    tracked = [sorted(set(want["ids"][t][want["valid"][t]]))
+               for t in range(f)]
+    assert all(len(t) == 1 for t in tracked), tracked
+    assert len({t[0] for t in tracked}) == 1, tracked
