@@ -6,5 +6,4 @@ from flowtrack_tpu.tracking.tracker import (  # noqa: F401
     boxes_from_poses,
     greedy_match,
     propagate_poses,
-    unify_boxes,
 )

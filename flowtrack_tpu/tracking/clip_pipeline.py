@@ -40,6 +40,15 @@ the same propagate->pose->match chain (MOTA-parity tested against the
 streaming tracker on dropout scenarios).
 
 Shapes are static: F frames x (P + max_recovered) persons (padded, masked).
+
+Budgeted-recovery edge (deliberate trade, documented): when a clip's
+recovery candidates EXCEED the clip-wide budget, dropping an intermediate
+frame's candidate breaks that track's id chain (the later recovery gets a
+fresh id) — a deviation from the unbudgeted streaming tracker that only
+appears under budget pressure; the default ``recover_budget`` of one crop
+per frame makes it unreachable for realistic miss rates. Stage 3a also
+chains through candidates regardless of whether 3b's pose later rejects
+them (3a is pose-free by design).
 """
 
 from __future__ import annotations
@@ -139,14 +148,22 @@ class ClipTracker:
             return preds, maxvals, scores
 
         def recovery_pass(pose_vars, frames, preds, valid, scores,
-                          det_boxes, flows, frame_valid):
+                          det_boxes, flows, frame_valid, budget_frames):
             """Stages 3a/3b (module docstring): emit flow-propagated boxes
             for OKS-unmatched tracks, pose the clip-wide top-budget boxes in
-            one dense batch, scatter back to (F, R) candidate slots."""
+            one dense batch, scatter back to (F, R) candidate slots.
+
+            ``budget_frames`` (static) is the REAL frame count: a
+            frame-sharded ragged clip is padded before tracing, and sizing
+            the budget from the padded count would give the sharded run
+            MORE recovery crops than the unsharded one (review finding).
+            """
             f, p = valid.shape
             r = tcfg.max_recovered
             t_slots = p + r
-            budget = min(f * r, max(r, int(np.ceil(f * tcfg.recover_budget))))
+            fb = budget_frames if budget_frames is not None else f
+            budget = min(f * r,
+                         max(r, int(np.ceil(fb * tcfg.recover_budget))))
             neg = jnp.asarray(-jnp.inf, jnp.float32)
 
             def gen_step(carry, xs):
@@ -225,7 +242,8 @@ class ClipTracker:
                     rec_valid.reshape(f, r))
 
         def clip_fn(pose_vars, flow_vars, frames, centers, scales,
-                    det_scores, det_valid, det_boxes, frame_valid):
+                    det_scores, det_valid, det_boxes, frame_valid,
+                    budget_frames=None):
             f, h, w, _ = frames.shape
             p = centers.shape[1]
 
@@ -269,7 +287,8 @@ class ClipTracker:
             if recover and f > 1:
                 rec_preds, rec_maxvals, rec_scores, rec_valid = \
                     recovery_pass(pose_vars, frames, preds, valid, scores,
-                                  det_boxes, flows, frame_valid)
+                                  det_boxes, flows, frame_valid,
+                                  budget_frames)
                 preds = jnp.concatenate([preds, rec_preds], axis=1)
                 maxvals = jnp.concatenate([maxvals, rec_maxvals], axis=1)
                 scores = jnp.concatenate([scores, rec_scores], axis=1)
@@ -308,7 +327,7 @@ class ClipTracker:
             all_ids = jnp.concatenate([ids0[None], ids_rest], axis=0)
             return preds, maxvals, scores, all_ids, valid
 
-        self._clip_fn = jax.jit(clip_fn)
+        self._clip_fn = jax.jit(clip_fn, static_argnames="budget_frames")
         # clips are the data-parallel axis: vmap over a leading clip dim;
         # shard it across the mesh and XLA runs one clip per device group
         # (the multi-chip serving layout — SURVEY.md section 6.8)
@@ -353,11 +372,14 @@ class ClipTracker:
                 jnp.asarray(boxes_xyxy),
                 jnp.asarray(frame_valid, bool))
 
-    def run_prepared(self, device_args):
+    def run_prepared(self, device_args, budget_frames=None):
         """Device-side tracking of a prepared clip; returns device arrays.
         Dispatch is async — callers can prepare/dispatch the next clip
-        before fetching (utils/video.track_video_clips overlaps this way)."""
-        return self._clip_fn(self.pose_vars, self.flow_vars, *device_args)
+        before fetching (utils/video.track_video_clips overlaps this way).
+        ``budget_frames``: real frame count when the clip was padded (see
+        recovery_pass)."""
+        return self._clip_fn(self.pose_vars, self.flow_vars, *device_args,
+                             budget_frames=budget_frames)
 
     @staticmethod
     def to_host(device_out):
@@ -383,13 +405,8 @@ class ClipTracker:
         args = [jnp.stack([p[j] for p in prepped]) for j in range(7)]
         if sharding is not None:
             args = [jax.device_put(a, sharding) for a in args]
-        preds, maxvals, scores, ids, valid = self._clips_fn(
-            self.pose_vars, self.flow_vars, *args)
-        ids = np.asarray(ids)
-        valid = np.asarray(valid)
-        ids = np.where(valid, ids, -1)
-        return {"joints": np.asarray(preds), "maxvals": np.asarray(maxvals),
-                "scores": np.asarray(scores), "ids": ids, "valid": valid}
+        return self.to_host(self._clips_fn(
+            self.pose_vars, self.flow_vars, *args))
 
     def track_clip(self, frames: np.ndarray, det_boxes: np.ndarray,
                    det_scores: np.ndarray, det_valid: np.ndarray,
@@ -424,7 +441,9 @@ class ClipTracker:
                             frame_valid)
         if frame_sharding is not None:
             args = tuple(jax.device_put(a, frame_sharding) for a in args)
-        out = self.to_host(self.run_prepared(args))
+        padded = frames.shape[0] != f
+        out = self.to_host(self.run_prepared(
+            args, budget_frames=f if padded else None))
         if frame_sharding is not None:
             out = {k: v[:f] for k, v in out.items()}
         return out

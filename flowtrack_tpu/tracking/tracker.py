@@ -66,21 +66,6 @@ def boxes_from_poses(joints, expand: float = 0.15, conf=None,
     return jnp.concatenate([mins, maxs], axis=-1)
 
 
-def unify_boxes(det_boxes, det_scores, det_valid, prop_boxes, prop_scores,
-                prop_valid, nms_thre: float):
-    """Concat detection + propagated boxes, greedy IoU NMS.
-
-    All inputs padded: det (D, 4)/(D,), prop (P, 4)/(P,). Returns
-    (boxes (D+P, 4), scores, keep_mask). nms_thre >= 1 disables suppression
-    (the reference's TEST.NMS_THRE=1.0 default keeps every box)."""
-    boxes = jnp.concatenate([det_boxes, prop_boxes], axis=0)
-    scores = jnp.concatenate([det_scores, prop_scores], axis=0)
-    valid = jnp.concatenate([det_valid, prop_valid], axis=0)
-    keep = greedy_nms_from_matrix(iou_matrix(boxes, boxes), scores,
-                                  nms_thre, valid)
-    return boxes, scores, keep & valid
-
-
 def greedy_match(sim, thr, row_valid=None, col_valid=None):
     """Greedy global-max assignment (SURVEY.md section 4.4 matching loop).
 
@@ -162,7 +147,8 @@ class FlowTracker:
     pose_fn(image, boxes (B, 4) xywh, scores (B,)) -> (joints (B, K, 2),
     maxvals (B, K), rescored (B,)) — typically pipeline.PosePredictor.
     flow_fn(prev_image, image) -> (H, W, 2) full-resolution flow, or None
-    for the flow-free ablation (detector-only tracking).
+    for the flow-free ablation (the paper's non-flow baseline: detector
+    boxes only, greedy OKS matching on UNPROPAGATED poses).
     """
 
     cfg: Config
@@ -232,13 +218,21 @@ class FlowTracker:
             maxvals = np.zeros((0, 17), np.float32)
             rescored = np.zeros((0,), np.float32)
 
-        # --- greedy OKS id assignment against flow-propagated tracks.
+        # --- greedy OKS id assignment against flow-propagated tracks
+        # (or the tracks as-is in the flow-free ablation: the paper's
+        # non-flow baseline matches on UNPROPAGATED poses — skipping the
+        # match entirely would mint fresh ids every frame).
         # Pad both sides to the static max_persons budget so match_step
-        # compiles ONCE per flow shape instead of per (M, N) pair (padding
-        # is greedy-order-safe: invalid entries read -inf, tested).
+        # compiles once per shape bucket instead of per (M, N) pair
+        # (padding is greedy-order-safe: invalid entries read -inf,
+        # tested); pmax is rounded up to a multiple of max_persons so
+        # crowded frames don't recompile per person-count.
         assign = np.full((len(joints),), -1, np.int32)
-        if len(self.tracks) and len(joints) and flow is not None:
-            pmax = max(tcfg.max_persons, len(self.tracks), len(joints))
+        if len(self.tracks) and len(joints):
+            if flow is None:
+                prop = np.stack([t.joints for t in self.tracks])
+            q = tcfg.max_persons
+            pmax = -(-max(q, len(self.tracks), len(joints)) // q) * q
             # reuse the propagation already computed for the prop boxes —
             # no second flow_gather per frame
             tj = np.zeros((pmax, 17, 2), np.float32)

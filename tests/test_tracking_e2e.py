@@ -169,3 +169,36 @@ def test_mota_one(tracked):
     assert out["num_switches"] == 0
     assert np.isclose(out["MOTA"], 1.0), out
     assert np.isclose(out["mAP"], 1.0), out
+
+
+def test_flow_free_ablation_keeps_ids(rng):
+    """flow_fn=None (the paper's non-flow baseline): greedy OKS matching
+    runs on UNPROPAGATED poses, so slow-moving persons keep their ids —
+    previously the matching was skipped entirely and every frame minted
+    fresh ids (review finding)."""
+    gt = make_sequence(rng)
+    state = {"t": 0}
+
+    def pose_fn(image, boxes, scores):
+        t = state["t"]
+        centers_gt = gt[t].mean(1)
+        joints, maxvals, resc = [], [], []
+        for b, s in zip(boxes, scores):
+            c = np.array([b[0] + b[2] / 2, b[1] + b[3] / 2])
+            i = int(np.argmin(np.linalg.norm(centers_gt - c, axis=1)))
+            joints.append(gt[t][i])
+            maxvals.append(np.full(K, 0.95))
+            resc.append(float(s) * 0.95)
+        state["t"] += 1
+        return (np.asarray(joints, np.float32),
+                np.asarray(maxvals, np.float32),
+                np.asarray(resc, np.float32))
+
+    tracker = FlowTracker(cfg=Config(), pose_fn=pose_fn, flow_fn=None)
+    frames = [np.zeros((H, W, 3), np.uint8) for _ in range(N_FRAMES)]
+    detections = [(boxes_of(gt[t]), np.array([0.95, 0.9], np.float32))
+                  for t in range(N_FRAMES)]
+    per_frame = tracker.track_sequence(frames, detections)
+    ids0 = sorted(t.track_id for t in per_frame[0])
+    for t, tracks in enumerate(per_frame):
+        assert sorted(tr.track_id for tr in tracks) == ids0, (t, tracks)
