@@ -49,6 +49,20 @@ appears under budget pressure; the default ``recover_budget`` of one crop
 per frame makes it unreachable for realistic miss rates. Stage 3a also
 chains through candidates regardless of whether 3b's pose later rejects
 them (3a is pose-free by design).
+
+Cross-clip continuity (SURVEY.md section 4.4's sequential contract): a clip
+may be SEEDED with the previous clip's final track state — last-frame union
+poses, validity, scores, miss ages and GLOBAL ids plus the next-id counter.
+The seed is the state AT the clip's first frame (consecutive clips overlap
+by that one frame, utils/video.clip_spans), so both device scans start from
+it through a zero flow: frame 0 re-matches the seed against its candidates
+(identical frame -> OKS ~ 1 for re-detected persons) and, crucially, a seed
+track UNDETECTED at the boundary frame emits a recovery candidate at frame
+0 via the normal 3a/3b machinery — occlusion exactly at a clip boundary no
+longer breaks the id (miss age is NOT re-incremented at the seeded overlap
+frame: the previous clip already counted that physical frame's miss). With
+an empty seed the maths reduce exactly to the unseeded clip (no valid seed
+rows -> no frame-0 matches, no frame-0 recovery, fresh ids from 0).
 """
 
 from __future__ import annotations
@@ -148,10 +162,17 @@ class ClipTracker:
             return preds, maxvals, scores
 
         def recovery_pass(pose_vars, frames, preds, valid, scores,
-                          det_boxes, flows, frame_valid, budget_frames):
+                          det_boxes, flows_ext, frame_valid, budget_frames,
+                          seed):
             """Stages 3a/3b (module docstring): emit flow-propagated boxes
             for OKS-unmatched tracks, pose the clip-wide top-budget boxes in
             one dense batch, scatter back to (F, R) candidate slots.
+
+            The scan runs over ALL F frames; its carry starts from ``seed``
+            = (joints, valid, scores, ages) over the T union slots — the
+            previous clip's final state at this clip's frame 0, or the
+            empty seed (docstring "Cross-clip continuity"). flows_ext has a
+            zero flow prepended for the frame-0 (seed -> frame 0) step.
 
             ``budget_frames`` (static) is the REAL frame count: a
             frame-sharded ragged clip is padded before tracing, and sizing
@@ -168,7 +189,7 @@ class ClipTracker:
 
             def gen_step(carry, xs):
                 tj, tv, ts, ta = carry
-                dj, dv, ds, dbox, flow_t, fv_t = xs
+                dj, dv, ds, dbox, flow_t, fv_t, inc_t = xs
                 prop = propagate_poses(tj, flow_t)
                 sim = oks_matrix(prop, pose_area(prop), dj, pose_area(dj))
                 assign = greedy_match(sim, thr, tv, dv)          # (p,)
@@ -183,7 +204,7 @@ class ClipTracker:
                 rec_v = jnp.isfinite(top_s) & fv_t
                 rec_j = prop[top_i]
                 rec_s = ts[top_i]
-                rec_a = ta[top_i] + 1
+                rec_a = ta[top_i] + inc_t
                 rec_box = boxes_from_poses(rec_j, tcfg.box_expand)  # xyxy
                 if tcfg.box_nms_thre < 1.0:
                     # unified suppression, detection wins (module docstring)
@@ -195,24 +216,20 @@ class ClipTracker:
                          jnp.concatenate([ds, rec_s]),
                          jnp.concatenate([jnp.zeros((p,), jnp.int32),
                                           rec_a]))
-                return carry, (rec_box, rec_v, rec_s)
+                return carry, (rec_box, rec_v, rec_s, rec_a)
 
-            k = preds.shape[2]
-            carry0 = (
-                jnp.concatenate([preds[0], jnp.zeros((r, k, 2))]),
-                jnp.concatenate([valid[0], jnp.zeros((r,), bool)]),
-                jnp.concatenate([scores[0], jnp.zeros((r,))]),
-                jnp.zeros((t_slots,), jnp.int32))
-            _, (rec_box, rec_v, rec_s) = jax.lax.scan(
-                gen_step, carry0,
-                (preds[1:], valid[1:], scores[1:], det_boxes[1:], flows,
-                 frame_valid[1:]))
-            # frame 0 has no previous tracks to recover from
-            rec_box = jnp.concatenate([jnp.zeros((1, r, 4)), rec_box])
-            rec_v = jnp.concatenate([jnp.zeros((1, r), bool), rec_v])
-            rec_s = jnp.concatenate([jnp.zeros((1, r)), rec_s])
+            # frame 0's miss age is NOT incremented: its physical frame is
+            # the previous clip's last frame, whose miss was already counted
+            # there (module docstring "Cross-clip continuity")
+            inc = jnp.concatenate([jnp.zeros((1,), jnp.int32),
+                                   jnp.ones((f - 1,), jnp.int32)])
+            _, (rec_box, rec_v, rec_s, rec_ages) = jax.lax.scan(
+                gen_step, seed,
+                (preds, valid, scores, det_boxes, flows_ext,
+                 frame_valid, inc))
 
             # ---- 3b. clip-wide budgeted selection -> ONE dense pose batch
+            k = preds.shape[2]
             flat_s = jnp.where(rec_v.reshape(-1),
                                rec_s.reshape(-1).astype(jnp.float32), neg)
             g_s, g_idx = jax.lax.top_k(flat_s, budget)
@@ -239,32 +256,41 @@ class ClipTracker:
             return (rec_preds.reshape(f, r, k, 2),
                     rec_maxvals.reshape(f, r, k),
                     rec_scores.reshape(f, r),
-                    rec_valid.reshape(f, r))
+                    rec_valid.reshape(f, r),
+                    rec_ages)
 
         def clip_fn(pose_vars, flow_vars, frames, centers, scales,
                     det_scores, det_valid, det_boxes, frame_valid,
-                    budget_frames=None):
+                    seed_joints, seed_valid, seed_scores, seed_ages,
+                    seed_ids, next_id0, budget_frames=None):
             f, h, w, _ = frames.shape
             p = centers.shape[1]
 
             # ---- 1. flow on all pairs, one call. FlowNet needs /64 input
             # dims; resize the flow branch and rescale components back
             # (same convention as pipeline.FlowPredictor).
-            net_h = -(-h // 64) * 64
-            net_w = -(-w // 64) * 64
-            if (net_h, net_w) != (h, w):
-                flow_in = jax.image.resize(
-                    frames.astype(jnp.float32), (f, net_h, net_w, 3),
-                    "bilinear")
+            if f > 1:
+                net_h = -(-h // 64) * 64
+                net_w = -(-w // 64) * 64
+                if (net_h, net_w) != (h, w):
+                    flow_in = jax.image.resize(
+                        frames.astype(jnp.float32), (f, net_h, net_w, 3),
+                        "bilinear")
+                else:
+                    flow_in = frames
+                pairs = preprocess_pair(flow_in[:-1], flow_in[1:],
+                                        cfg.flow.rgb_max)
+                flow_q = flow_model.apply(flow_vars, pairs, train=False)
+                # handles both output conventions (quarter-res/div_flow vs
+                # the FlowNet2 cascade's final full-res flow)
+                flows = postprocess_flow(flow_q, cfg.flow.variant, (h, w),
+                                         div_flow)
             else:
-                flow_in = frames
-            pairs = preprocess_pair(flow_in[:-1], flow_in[1:],
-                                    cfg.flow.rgb_max)
-            flow_q = flow_model.apply(flow_vars, pairs, train=False)
-            # handles both output conventions (quarter-res/div_flow vs the
-            # FlowNet2 cascade's final full-res flow)
-            flows = postprocess_flow(flow_q, cfg.flow.variant, (h, w),
-                                     div_flow)
+                flows = jnp.zeros((0, h, w, 2), jnp.float32)
+            # zero flow for the (seed -> frame 0) step: the seed state is at
+            # frame 0's own timestamp (the shared overlap frame)
+            flows_ext = jnp.concatenate(
+                [jnp.zeros((1, h, w, 2), flows.dtype), flows])
 
             # ---- 2. pose on all detector persons of all frames, one call;
             # crops emitted in the model compute dtype (bf16) to halve the
@@ -284,34 +310,27 @@ class ClipTracker:
             valid = det_valid & (scores >= tcfg.pose_score_thre)
 
             # ---- 3. detector-miss recovery (second budgeted pose pass)
-            if recover and f > 1:
-                rec_preds, rec_maxvals, rec_scores, rec_valid = \
+            if recover:
+                rec_seed = (seed_joints, seed_valid,
+                            seed_scores.astype(jnp.float32),
+                            seed_ages.astype(jnp.int32))
+                rec_preds, rec_maxvals, rec_scores, rec_valid, rec_ages = \
                     recovery_pass(pose_vars, frames, preds, valid, scores,
-                                  det_boxes, flows, frame_valid,
-                                  budget_frames)
+                                  det_boxes, flows_ext, frame_valid,
+                                  budget_frames, rec_seed)
                 preds = jnp.concatenate([preds, rec_preds], axis=1)
                 maxvals = jnp.concatenate([maxvals, rec_maxvals], axis=1)
                 scores = jnp.concatenate([scores, rec_scores], axis=1)
                 valid = jnp.concatenate([valid, rec_valid], axis=1)
-            elif recover:  # single-frame clip: keep the static slot count
-                r = tcfg.max_recovered
-                k = preds.shape[2]
-                preds = jnp.concatenate(
-                    [preds, jnp.zeros((f, r, k, 2))], axis=1)
-                maxvals = jnp.concatenate(
-                    [maxvals, jnp.zeros((f, r, k))], axis=1)
-                scores = jnp.concatenate(
-                    [scores, jnp.zeros((f, r))], axis=1)
-                valid = jnp.concatenate(
-                    [valid, jnp.zeros((f, r), bool)], axis=1)
+                ages = jnp.concatenate(
+                    [jnp.zeros((f, p), jnp.int32), rec_ages], axis=1)
+            else:
+                ages = jnp.zeros((f, p), jnp.int32)
             t_slots = preds.shape[1]
 
-            # ---- 4. sequential id chain (cheap), lax.scan over frames
-            # frame 0 seeds the tracks
-            ids0, next_id0 = _assign_ids(
-                jnp.full((t_slots,), -1, jnp.int32), valid[0],
-                jnp.zeros((t_slots,), jnp.int32), jnp.asarray(0, jnp.int32))
-
+            # ---- 4. sequential id chain (cheap), lax.scan over ALL frames
+            # starting from the seed tracks (empty seed -> frame 0 mints
+            # fresh ids exactly as an unseeded clip would)
             def step(carry, xs):
                 tj, tvalid, tids, nid = carry
                 cj, cvalid, flow_t = xs
@@ -321,20 +340,41 @@ class ClipTracker:
                 ids, nid = _assign_ids(assign, cvalid, tids, nid)
                 return (cj, cvalid, jnp.maximum(ids, 0), nid), ids
 
-            carry0 = (preds[0], valid[0], jnp.maximum(ids0, 0), next_id0)
-            (_, _, _, _), ids_rest = jax.lax.scan(
-                step, carry0, (preds[1:], valid[1:], flows))
-            all_ids = jnp.concatenate([ids0[None], ids_rest], axis=0)
-            return preds, maxvals, scores, all_ids, valid
+            carry0 = (seed_joints, seed_valid,
+                      jnp.maximum(seed_ids.astype(jnp.int32), 0),
+                      next_id0.astype(jnp.int32))
+            (_, _, _, nid_fin), all_ids = jax.lax.scan(
+                step, carry0, (preds, valid, flows_ext))
+            # final live-track state = next clip's seed (global ids); for a
+            # padded (frame-sharded ragged) clip the last REAL frame is
+            # budget_frames - 1, not the padded tail (whose frames are all
+            # invalid and would drop every live track)
+            last = (budget_frames if budget_frames is not None else f) - 1
+            seed_out = (preds[last], valid[last], scores[last], ages[last],
+                        jnp.where(valid[last], all_ids[last], 0), nid_fin)
+            return preds, maxvals, scores, all_ids, valid, seed_out
 
         self._clip_fn = jax.jit(clip_fn, static_argnames="budget_frames")
         # clips are the data-parallel axis: vmap over a leading clip dim;
         # shard it across the mesh and XLA runs one clip per device group
         # (the multi-chip serving layout — SURVEY.md section 6.8)
         self._clips_fn = jax.jit(
-            jax.vmap(clip_fn, in_axes=(None, None, 0, 0, 0, 0, 0, 0, 0)))
+            jax.vmap(clip_fn, in_axes=(None, None) + (0,) * 13))
         self.pose_vars = pose_vars
         self.flow_vars = flow_vars
+        self.num_joints = cfg.model.num_joints
+
+    def empty_seed(self):
+        """Zero cross-clip seed (no live tracks, next global id = 0):
+        (joints (T, K, 2), valid (T,), scores (T,), ages (T,), ids (T,),
+        next_id scalar) over the T = P + max_recovered union slots."""
+        t, k = self.num_slots, self.num_joints
+        return (jnp.zeros((t, k, 2), jnp.float32),
+                jnp.zeros((t,), bool),
+                jnp.zeros((t,), jnp.float32),
+                jnp.zeros((t,), jnp.int32),
+                jnp.zeros((t,), jnp.int32),
+                jnp.zeros((), jnp.int32))
 
     def prepare(self, frames: np.ndarray, det_boxes: np.ndarray,
                 det_scores: np.ndarray, det_valid: np.ndarray,
@@ -372,19 +412,25 @@ class ClipTracker:
                 jnp.asarray(boxes_xyxy),
                 jnp.asarray(frame_valid, bool))
 
-    def run_prepared(self, device_args, budget_frames=None):
-        """Device-side tracking of a prepared clip; returns device arrays.
-        Dispatch is async — callers can prepare/dispatch the next clip
-        before fetching (utils/video.track_video_clips overlaps this way).
+    def run_prepared(self, device_args, budget_frames=None, seed=None):
+        """Device-side tracking of a prepared clip; returns device arrays
+        (..., seed_out) where seed_out is the final live-track state to pass
+        as ``seed`` for the NEXT (1-frame-overlapping) clip — cross-clip id
+        continuity stays entirely on device. Dispatch is async — callers can
+        prepare/dispatch the next clip before fetching
+        (utils/video.track_video_clips overlaps this way).
         ``budget_frames``: real frame count when the clip was padded (see
         recovery_pass)."""
+        if seed is None:
+            seed = self.empty_seed()
         return self._clip_fn(self.pose_vars, self.flow_vars, *device_args,
-                             budget_frames=budget_frames)
+                             *seed, budget_frames=budget_frames)
 
     @staticmethod
     def to_host(device_out):
-        """Device result tuple -> the track_clip numpy dict."""
-        preds, maxvals, scores, ids, valid = device_out
+        """Device result tuple -> the track_clip numpy dict (the trailing
+        seed_out stays device-side; fetch it via device_out[5])."""
+        preds, maxvals, scores, ids, valid, _seed = device_out
         ids = np.asarray(ids)
         valid = np.asarray(valid)
         ids = np.where(valid, ids, -1)
@@ -405,12 +451,16 @@ class ClipTracker:
         args = [jnp.stack([p[j] for p in prepped]) for j in range(7)]
         if sharding is not None:
             args = [jax.device_put(a, sharding) for a in args]
+        # independent clips: every lane gets the empty seed (tiny arrays —
+        # left uncommitted; jit lays them out to match the clip axis)
+        args += [jnp.broadcast_to(s, (c,) + s.shape)
+                 for s in self.empty_seed()]
         return self.to_host(self._clips_fn(
             self.pose_vars, self.flow_vars, *args))
 
     def track_clip(self, frames: np.ndarray, det_boxes: np.ndarray,
                    det_scores: np.ndarray, det_valid: np.ndarray,
-                   frame_sharding=None):
+                   frame_sharding=None, seed=None):
         """frames: (F, H, W, 3); det_boxes: (F, P, 4) xywh (padded);
         det_scores/det_valid: (F, P). Returns dict of numpy arrays over
         T = P + track.max_recovered candidate slots (the trailing slots are
@@ -443,7 +493,7 @@ class ClipTracker:
             args = tuple(jax.device_put(a, frame_sharding) for a in args)
         padded = frames.shape[0] != f
         out = self.to_host(self.run_prepared(
-            args, budget_frames=f if padded else None))
+            args, budget_frames=f if padded else None, seed=seed))
         if frame_sharding is not None:
             out = {k: v[:f] for k, v in out.items()}
         return out

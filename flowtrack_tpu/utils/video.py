@@ -1,11 +1,20 @@
-"""Video/frame-sequence IO + clip batching with cross-clip ID stitching.
+"""Video/frame-sequence IO + clip batching with cross-clip ID continuity.
 
 The reference's demo path reads videos with cv2.VideoCapture and loops
 frames one by one (SURVEY.md section 4.4/4.5). TPU-native: frames are
-grouped into fixed-length clips (static shapes for the jit'd ClipTracker),
-consecutive clips OVERLAP by one frame, and track ids are stitched across
-the boundary by OKS-matching the shared frame's poses (identical frame ->
-near-1 OKS for the same person).
+grouped into fixed-length clips (static shapes for the jit'd ClipTracker)
+and consecutive clips OVERLAP by one frame. Track ids stay globally
+consistent by carrying the previous clip's final live-track state — poses,
+GLOBAL ids, scores, miss ages and the next-id counter — as the next clip's
+device-side seed (ClipTracker "Cross-clip continuity"): the id scan and the
+detector-miss recovery both start from the seed, so a person occluded or
+undetected exactly at the boundary frame keeps one global id through the
+normal flow-propagated recovery slots, matching the reference's continuous
+per-frame loop (SURVEY.md section 4.4).
+
+``stitch_ids`` (OKS-matching only the shared overlap frame's poses) is the
+older, weaker host-side mechanism, kept for callers that track clips
+independently; ``track_video_clips`` no longer needs it.
 """
 
 from __future__ import annotations
@@ -106,53 +115,34 @@ def track_video_clips(tracker, frames: np.ndarray, det_boxes, det_scores,
     max_persons = max_persons or tracker.cfg.track.max_persons
     n = len(frames)
     results: List[List[dict]] = [None] * n
-    id_offset = 0
-    prev_tail = None  # (poses, global_ids) of the shared frame
 
     # one-clip dispatch lag: while the device computes clip i, the host
     # prepares and enqueues the H2D + compute of clip i+1 (jax dispatch is
-    # async); only then do we block fetching clip i's outputs. On hosts
-    # with slow H2D this hides the transfer behind compute.
-    def dispatch(span):
+    # async; clip i+1's seed is clip i's device-resident seed_out, so the
+    # dependency stays in the device queue). On hosts with slow H2D this
+    # hides the transfer behind compute.
+    def dispatch(span, seed):
         idx = list(span)
         db, dsc, dv = pad_detections([det_boxes[i] for i in idx],
                                      [det_scores[i] for i in idx],
                                      max_persons)
         return idx, tracker.run_prepared(
-            tracker.prepare(frames[idx], db, dsc, dv))
+            tracker.prepare(frames[idx], db, dsc, dv), seed=seed)
 
     spans = clip_spans(n, clip_len)
-    pending = dispatch(spans[0])
+    pending = dispatch(spans[0], None)
+    first = True
     for next_span in list(spans[1:]) + [None]:
         idx, device_out = pending
         if next_span is not None:
-            pending = dispatch(next_span)
+            pending = dispatch(next_span, device_out[5])
         out = tracker.to_host(device_out)
 
-        # local -> global id translation for this clip
-        local_ids = out["ids"]
-        trans = {}
-        if prev_tail is not None:
-            first_valid = out["valid"][0]
-            first_poses = out["joints"][0][first_valid]
-            first_ids = local_ids[0][first_valid]
-            trans = stitch_ids(prev_tail[0], prev_tail[1],
-                               first_poses, first_ids)
-
-        # fresh per-clip translation: stitched ids via `trans`, new local
-        # ids get consecutive globals starting at id_offset
-        fresh: dict = {}
-        counter = [id_offset]
-
-        def to_global(lid, trans=trans, fresh=fresh, counter=counter):
-            if lid in trans:
-                return trans[lid]
-            if lid not in fresh:
-                fresh[lid] = counter[0]
-                counter[0] += 1
-            return fresh[lid]
-
-        start_t = 1 if prev_tail is not None else 0
+        # ids are already GLOBAL (seeded device scans); frame 0 of every
+        # non-first clip is the previous clip's last frame — its results
+        # were already emitted there
+        start_t = 0 if first else 1
+        first = False
         for tt in range(start_t, len(idx)):
             fi = idx[tt]
             poses = []
@@ -161,17 +151,12 @@ def track_video_clips(tracker, frames: np.ndarray, det_boxes, det_scores,
                 if not out["valid"][tt, p]:
                     continue
                 poses.append({
-                    "track_id": to_global(int(local_ids[tt, p])),
+                    "track_id": int(out["ids"][tt, p]),
                     "joints": out["joints"][tt, p],
                     "maxvals": out["maxvals"][tt, p],
                     "score": float(out["scores"][tt, p]),
                 })
             results[fi] = poses
-        id_offset = counter[0]
-
-        last_valid = out["valid"][-1]
-        prev_tail = (out["joints"][-1][last_valid],
-                     [to_global(int(v)) for v in local_ids[-1][last_valid]])
 
     for i in range(n):
         if results[i] is None:
