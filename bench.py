@@ -28,9 +28,12 @@ import numpy as np
 # 16->375, 32->407, 64->429 f/s); production video clips are this long.
 FRAMES = int(os.environ.get("BENCH_FRAMES", "64"))
 PERSONS = int(os.environ.get("BENCH_PERSONS", "8"))
-ORACLE_FRAMES = int(os.environ.get("BENCH_ORACLE_FRAMES", "3"))
+# denominator protocol (VERDICT round-2 item 2a): >=32 frames, min-of-k
+ORACLE_FRAMES = int(os.environ.get("BENCH_ORACLE_FRAMES", "32"))
+ORACLE_REPS = int(os.environ.get("BENCH_ORACLE_REPS", "3"))
 BENCH_CFG = os.environ.get("BENCH_CFG", "coco_res50_256x192")
 H, W = 256, 192
+BF16_PEAK = 197e12  # v5e-class bf16 peak used for every MFU line
 
 
 def build_tpu_step():
@@ -155,7 +158,7 @@ def run_tpu_bench():
     return FRAMES / dt
 
 
-def run_clip_bench():
+def run_clip_bench(cfg_name=None, flow_variant=None):
     """Headline path: whole-clip batched tracking (tracking/clip_pipeline).
 
     Flow on all frame pairs in one call, pose on all F*P persons in one
@@ -171,7 +174,7 @@ def run_clip_bench():
 
     from dataclasses import replace
 
-    cfg = get_config(BENCH_CFG)
+    cfg = get_config(cfg_name or BENCH_CFG)
     if os.environ.get("BENCH_FLIP") == "0":
         cfg = replace(cfg, test=replace(cfg.test, flip_test=False))
     if os.environ.get("BENCH_RECOVER") == "0":
@@ -179,7 +182,7 @@ def run_clip_bench():
         cfg = replace(cfg, track=replace(cfg.track, clip_recover=False))
     h, w = cfg.model.image_size  # frames at model input res
     pose = get_pose_net(cfg.model)
-    flow_variant = os.environ.get("BENCH_FLOW", "flownet_s")
+    flow_variant = flow_variant or os.environ.get("BENCH_FLOW", "flownet_s")
     if flow_variant != "flownet_s":
         from dataclasses import replace
 
@@ -282,29 +285,214 @@ def run_clip_bench():
     # against the chip's bf16 peak — so the "% of peak" claim is
     # recomputed from primary data on every run.
     extras = {}
+    flops = program_flops(tracker._clip_fn, tracker.pose_vars,
+                          tracker.flow_vars, *args, *tracker.empty_seed())
+    if flops > 0:
+        gflops_frame = flops / FRAMES / 1e9
+        extras["gflops_per_frame"] = round(gflops_frame, 1)
+        extras["tflops_per_sec"] = round(gflops_frame * FRAMES / dt / 1e3,
+                                         1)
+        extras["mfu_pct_of_197T_bf16"] = round(
+            100.0 * flops / dt / BF16_PEAK, 1)
+    return FRAMES / dt, extras
+
+
+def program_flops(jitted, *args):
+    """XLA's own flop count for one application of a jitted fn, so every
+    "% of peak" claim is recomputed from primary data per run. Failures
+    are SURFACED to stderr (VERDICT round-2 weak item 2 — a silent 0 would
+    quietly drop the MFU extras from the headline JSON)."""
     try:
         # cost_analysis on the LOWERED stage (pre-optimization HLO) when
         # the backend supports it; the axon relay returns None there, so
         # fall back to the compiled executable's analysis (second compile,
         # served from the compilation cache).
-        lowered = tracker._clip_fn.lower(tracker.pose_vars,
-                                         tracker.flow_vars, *args)
+        lowered = jitted.lower(*args)
         ca = lowered.cost_analysis()
         if ca is None:
             ca = lowered.compile().cost_analysis()
         if isinstance(ca, (list, tuple)):
             ca = ca[0]
         flops = float(ca.get("flops", 0.0))
-        if flops > 0:
-            gflops_frame = flops / FRAMES / 1e9
-            extras["gflops_per_frame"] = round(gflops_frame, 1)
-            extras["tflops_per_sec"] = round(gflops_frame * FRAMES / dt / 1e3,
-                                             1)
-            extras["mfu_pct_of_197T_bf16"] = round(
-                100.0 * flops / dt / 197e12, 1)
-    except Exception:
-        pass
-    return FRAMES / dt, extras
+        if flops <= 0:
+            print("bench: cost_analysis returned no flops — MFU extras "
+                  "omitted", file=sys.stderr)
+        return flops
+    except Exception as e:  # noqa: BLE001 — must never kill the bench line
+        print(f"bench: cost_analysis failed ({type(e).__name__}: {e}) — "
+              "MFU extras omitted", file=sys.stderr)
+        return 0.0
+
+
+def _amortized_ms(fn, *args, perturb=1, iters=8):
+    """ms per application of ``fn`` — probe_stages protocol: ``iters``
+    iterations INSIDE one jit (fori_loop + scalar accumulator forced out
+    with float()), min of 2 outer runs. The axon relay does not reliably
+    block in block_until_ready for large outputs (CLAUDE.md), so
+    loop-around-dispatch timings are untrustworthy; this is not."""
+    import jax
+    import jax.numpy as jnp
+
+    def looped(*a):
+        def body(i, acc):
+            aa = list(a)
+            aa[perturb] = aa[perturb] + i * jnp.asarray(
+                1e-6, aa[perturb].dtype)
+            out = fn(*aa)
+            return acc + sum(
+                jnp.abs(x).sum().astype(jnp.float32)
+                for x in jax.tree_util.tree_leaves(out))
+        return jax.lax.fori_loop(0, iters, body, jnp.float32(0))
+
+    jf = jax.jit(looped)
+    _ = float(jf(*args))  # compile
+    ts = []
+    for r in range(2):
+        a = list(args)
+        a[perturb] = a[perturb] + r
+        t0 = time.perf_counter()
+        _ = float(jf(*a))
+        ts.append(time.perf_counter() - t0)
+    return 1e3 * min(ts) / iters
+
+
+def run_matrix():
+    """BENCH_MATRIX=1: one auditable JSON line per BASELINE.json config
+    (VERDICT round-2 item 3) — f/s (or poses/s / pairs/s) + XLA flop count
+    + MFU for each of the five [B] configs:
+
+      0. ResNet-50 @256x192 single-pose inference (flip + decode + rescore)
+      1. ResNet-50 @384x288 flip-test + offset decode
+      2. ResNet-152 @384x288 multi-person batch + device OKS-NMS
+      3. FlowNetS frame-pair flow inference
+      4. full FlowTrack: ResNet-152 pose + FlowNet2 cascade + tracking
+         (the whole-clip pipeline, same path as the headline)
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from flowtrack_tpu.config import COCO_FLIP_PAIRS, get_config
+    from flowtrack_tpu.models.flownet import FlowNetS, preprocess_pair
+    from flowtrack_tpu.models.pose_resnet import get_pose_net
+    from flowtrack_tpu.ops.decode import get_final_preds, rescore
+    from flowtrack_tpu.ops.heatmap import merge_flip_test
+    from flowtrack_tpu.ops.nms import oks_nms
+    from flowtrack_tpu.ops.oks import pose_area
+
+    rng = np.random.default_rng(0)
+    platform = jax.devices()[0].platform
+    iters = int(os.environ.get("BENCH_MATRIX_ITERS", "8"))
+    only = [s for s in os.environ.get("BENCH_MATRIX_ONLY", "").split(",")
+            if s]
+
+    def want(label):
+        return not only or any(label.startswith(o) for o in only)
+
+    def emit(config_label, item, per_sec, ms_per_item, flops_per_item):
+        line = {
+            "config": config_label,
+            "metric": f"{item}_per_sec_per_chip",
+            "value": round(per_sec, 2),
+            "unit": f"{item}/s",
+            "ms_per_item": round(ms_per_item, 3),
+            "platform": platform,
+        }
+        if flops_per_item > 0:
+            line["gflops_per_item"] = round(flops_per_item / 1e9, 1)
+            line["tflops_per_sec"] = round(
+                flops_per_item * per_sec / 1e12, 1)
+            line["mfu_pct_of_197T_bf16"] = round(
+                100.0 * flops_per_item * per_sec / BF16_PEAK, 1)
+        print(json.dumps(line), flush=True)
+
+    def pose_eval_bench(label, cfg_name, batch, with_nms=False,
+                        persons_per_img=PERSONS):
+        cfg = get_config(cfg_name)
+        ih, iw = cfg.model.image_size
+        pose = get_pose_net(cfg.model)
+        rngk = jax.random.PRNGKey(0)
+        pose_vars = jax.jit(pose.init, static_argnames="train")(
+            rngk, jnp.zeros((1, ih, iw, 3)), train=False)
+        crops = jnp.asarray(rng.normal(0, 1, (batch, ih, iw, 3)),
+                            jnp.float32)
+        centers = jnp.asarray(np.stack([rng.uniform(100, 200, batch),
+                                        rng.uniform(100, 200, batch)], 1),
+                              jnp.float32)
+        scales = jnp.full((batch, 2), 1.2, jnp.float32)
+        scores = jnp.full((batch,), 0.9, jnp.float32)
+
+        def fn(v, crops, centers, scales, scores):
+            both = jnp.concatenate([crops, crops[:, :, ::-1, :]], axis=0)
+            hm = pose.apply(v, both, train=False)
+            hm = merge_flip_test(hm[:batch], hm[batch:], COCO_FLIP_PAIRS,
+                                 shift=cfg.test.shift_heatmap)
+            preds, maxvals = get_final_preds(
+                hm, centers, scales, post_process=cfg.test.post_process)
+            sc = rescore(scores, maxvals, cfg.test.in_vis_thre)
+            if with_nms:
+                pp = preds.reshape(-1, persons_per_img,
+                                   cfg.model.num_joints, 2)
+                ss = sc.reshape(-1, persons_per_img)
+                keep = jax.vmap(
+                    lambda kp, s: oks_nms(kp, s, pose_area(kp),
+                                          cfg.test.oks_thre))(pp, ss)
+                return preds, maxvals, sc, keep
+            return preds, maxvals, sc
+
+        args = (pose_vars, crops, centers, scales, scores)
+        ms = _amortized_ms(fn, *args, perturb=1, iters=iters)
+        flops = program_flops(jax.jit(fn), *args)
+        emit(label, "poses", batch / (ms / 1e3), ms / batch, flops / batch)
+
+    # [B] configs 0-2: pose eval programs (batch override for CI smokes)
+    bo = int(os.environ.get("BENCH_MATRIX_BATCH", "0"))
+    if want("b0"):
+        pose_eval_bench("b0_res50_256x192_flip_decode",
+                        "coco_res50_256x192", batch=bo or 128)
+    if want("b1"):
+        pose_eval_bench("b1_res50_384x288_flip_decode",
+                        "coco_res50_384x288", batch=bo or 64)
+    if want("b2"):
+        pose_eval_bench("b2_res152_384x288_batch_oksnms",
+                        "coco_res152_384x288", batch=bo or 64,
+                        with_nms=True, persons_per_img=min(PERSONS,
+                                                          bo or 64))
+
+    # [B] config 3: FlowNetS on frame pairs
+    if want("b3"):
+        flow_net = FlowNetS(dtype=jnp.bfloat16)
+        n_pairs = bo or 64
+        pairs = preprocess_pair(
+            jnp.asarray(rng.uniform(0, 255, (n_pairs, H, W, 3)),
+                        jnp.float32),
+            jnp.asarray(rng.uniform(0, 255, (n_pairs, H, W, 3)),
+                        jnp.float32))
+        flow_vars = jax.jit(flow_net.init, static_argnames="train")(
+            jax.random.PRNGKey(0), pairs[:1], train=False)
+
+        def flow_fn(v, x):
+            return flow_net.apply(v, x, train=False)
+
+        ms = _amortized_ms(flow_fn, flow_vars, pairs, perturb=1,
+                           iters=iters)
+        flops = program_flops(jax.jit(flow_fn), flow_vars, pairs)
+        emit("b3_flownet_s_pairs", "pairs", n_pairs / (ms / 1e3),
+             ms / n_pairs, flops / n_pairs)
+
+    # [B] config 4: full FlowTrack — ResNet-152 pose + FlowNet2 cascade +
+    # tracking via the whole-clip pipeline (flowtrack_posetrack preset)
+    if want("b4"):
+        fps, extras = run_clip_bench("flowtrack_posetrack", "flownet2")
+        line = {
+            "config": "b4_flowtrack_res152_flownet2",
+            "metric": "pose+flow_tracking_frames_per_sec_per_chip",
+            "value": round(fps, 2),
+            "unit": f"frames/s ({PERSONS} persons, flip-test, "
+                    f"{FRAMES}-frame clips, detector-miss recovery)",
+            "platform": platform,
+            **extras,
+        }
+        print(json.dumps(line), flush=True)
 
 
 def run_accuracy_smoke():
@@ -384,6 +572,76 @@ def run_accuracy_smoke():
         "AP50": round(stats["AP50"], 4), "AP75": round(stats["AP75"], 4),
     }))
     return stats["AP"], err
+
+
+def run_track_accuracy_smoke():
+    """BENCH_ACCURACY=track: the dropout-recovery MOTA closed loop ON THE
+    REAL CHIP via the whole-clip path (VERDICT round-2 item 5 — the
+    CPU-mesh twin is tests/test_clip_pipeline.py
+    test_clip_recovery_mota_parity_with_streaming). The full clip program —
+    fused crop, decode, budgeted recovery scan, id scan — runs on whatever
+    jax.devices()[0] is; GT is the no-dropout run of the same program, so
+    MOTA=1 requires the detector-miss recovery to bridge the dropped frame
+    with the SAME id on hardware. Prints ONE json line."""
+    import jax
+
+    from flowtrack_tpu.eval.posetrack_eval import (evaluate_posetrack,
+                                                   evaluate_posetrack_mot)
+    from flowtrack_tpu.tracking.clip_pipeline import ClipTracker, \
+        pad_detections
+    from tests.test_clip_pipeline import (StubFlow, StubPose,
+                                          _dropout_scenario, make_cfg)
+
+    cfg = make_cfg()
+    tracker = ClipTracker(cfg, StubPose(), {}, StubFlow(), {})
+    f = 6
+    frames, boxes, scores, _ = _dropout_scenario(f=f, drop_frame=3)
+
+    # GT = the no-dropout clip run's detector-slot poses
+    full_boxes = [list(b) for b in boxes]
+    full_scores = [list(s) for s in scores]
+    from tests.test_clip_pipeline import VEL
+    full_boxes[3].append([90 + VEL[0] * 3 - 15, 60 + VEL[1] * 3 - 15,
+                          30, 30])
+    full_scores[3].append(0.8)
+    db, dsc, dv = pad_detections(full_boxes, full_scores,
+                                 cfg.track.max_persons)
+    ref = tracker.track_clip(frames, db, dsc, dv)
+    k = ref["joints"].shape[2]
+    gt_seq = [[{"track_id": pid,
+                "keypoints": np.concatenate(
+                    [ref["joints"][t, pid], np.ones((k, 1))], axis=1),
+                "head_size": 20.0} for pid in range(2)]
+              for t in range(f)]
+
+    db, dsc, dv = pad_detections(boxes, scores, cfg.track.max_persons)
+    out = tracker.track_clip(frames, db, dsc, dv)
+    pred_seq = []
+    for t in range(f):
+        items = []
+        for s in range(out["valid"].shape[1]):
+            if out["valid"][t, s]:
+                items.append({
+                    "track_id": int(out["ids"][t, s]),
+                    "keypoints": np.concatenate(
+                        [out["joints"][t, s],
+                         out["maxvals"][t, s][:, None]], axis=1),
+                    "score": float(out["scores"][t, s])})
+        pred_seq.append(items)
+    stats = evaluate_posetrack([gt_seq], [pred_seq])
+    stats_mot = evaluate_posetrack_mot([gt_seq], [pred_seq])
+    print(json.dumps({
+        "metric": "posetrack_mota_dropout_recovery_closed_loop_on_device",
+        "value": round(stats["MOTA"], 4),
+        "unit": "MOTA (6-frame clip, detector miss at frame 3, clip path)",
+        "platform": jax.devices()[0].platform,
+        "mAP": round(stats["mAP"], 4),
+        "num_switches": stats["num_switches"],
+        "num_misses": stats["num_misses"],
+        "num_fps": stats["num_fps"],
+        "mota_accumulator_backend": round(stats_mot["MOTA"], 4),
+    }))
+    return stats["MOTA"]
 
 
 def run_train_accuracy_smoke():
@@ -513,11 +771,13 @@ def run_train_bench():
 
 def run_oracle_bench():
     """Same per-frame work in torch-CPU (the measured denominator) —
-    single source of truth lives in benchmarks/reference_oracle.py."""
+    single source of truth lives in benchmarks/reference_oracle.py.
+    Returns the min-of-k stats dict."""
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from benchmarks.reference_oracle import measure_oracle_fps
 
-    return measure_oracle_fps(ORACLE_FRAMES, PERSONS, H, W)
+    return measure_oracle_fps(ORACLE_FRAMES, PERSONS, H, W,
+                              reps=ORACLE_REPS)
 
 
 def main():
@@ -533,8 +793,14 @@ def main():
     if os.environ.get("BENCH_ACCURACY") == "train":
         run_train_accuracy_smoke()
         return
+    if os.environ.get("BENCH_ACCURACY") == "track":
+        run_track_accuracy_smoke()
+        return
     if os.environ.get("BENCH_TRAIN") == "1":
         run_train_bench()
+        return
+    if os.environ.get("BENCH_MATRIX") == "1":
+        run_matrix()
         return
     mode = os.environ.get("BENCH_MODE", "clip")
     extras = {}
@@ -542,18 +808,24 @@ def main():
         fps, extras = run_clip_bench()
     else:
         fps = run_tpu_bench()
-    oracle_fps = None
+    oracle = None
+    protocol = f"min-of-{ORACLE_REPS}x{ORACLE_FRAMES}f"
     cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                          ".bench_oracle_fps.json")
     if os.environ.get("BENCH_SKIP_ORACLE") != "1":
         try:
             if os.path.exists(cache):
-                oracle_fps = json.load(open(cache))["fps"]
-            else:
-                oracle_fps = run_oracle_bench()
-                json.dump({"fps": oracle_fps}, open(cache, "w"))
-        except Exception:
-            oracle_fps = None
+                c = json.load(open(cache))
+                if c.get("protocol") == protocol:  # old-format caches rerun
+                    oracle = c["stats"]
+            if oracle is None:
+                oracle = run_oracle_bench()
+                json.dump({"protocol": protocol, "stats": oracle},
+                          open(cache, "w"))
+        except Exception as e:  # noqa: BLE001 — denominator must not kill
+            print(f"bench: oracle measurement failed ({e})",
+                  file=sys.stderr)
+            oracle = None
 
     from flowtrack_tpu.config import get_config
 
@@ -564,11 +836,24 @@ def main():
         "value": round(fps, 2),
         "unit": f"frames/s ({ih}x{iw}, {PERSONS} persons, {flip}, "
                 f"{FRAMES}-frame clips, {BENCH_CFG})",
-        "vs_baseline": round(fps / oracle_fps, 2) if oracle_fps else None,
+        "vs_baseline": round(fps / oracle["fps"], 2) if oracle else None,
         "platform": platform,
-        "oracle_fps_torch_cpu": round(oracle_fps, 3) if oracle_fps else None,
+        "oracle_fps_torch_cpu": round(oracle["fps"], 3) if oracle else None,
+        "oracle_protocol": protocol if oracle else None,
+        "oracle_rep_fps": oracle["rep_fps"] if oracle else None,
+        "oracle_spread_pct": oracle["spread_pct"] if oracle else None,
         **extras,
     }
+    # analytic reference-GPU envelope (BASELINE.md "GPU envelope" section):
+    # the reference's fps was never published; bound it from THIS run's
+    # measured flops/frame against published fp32 peaks x a utilization
+    # envelope, so the north-star ratio has a number attached.
+    if extras.get("gflops_per_frame"):
+        fl = extras["gflops_per_frame"] * 1e9
+        lo = 0.30 * 8.9e12 / fl    # GTX 1080 (8.9 TFLOP/s fp32) @ 30% util
+        hi = 0.60 * 15.7e12 / fl   # V100 (15.7 TFLOP/s fp32) @ 60% util
+        out["gpu_envelope_fps"] = [round(lo, 1), round(hi, 1)]
+        out["vs_gpu_envelope"] = [round(fps / hi, 1), round(fps / lo, 1)]
     print(json.dumps(out))
 
 

@@ -23,9 +23,29 @@ unavailable to diff against):
     labeled joints; a switch is counted when a GT track's matched predicted
     id differs from its MOST RECENT match (py-motmetrics semantics: gaps do
     not reset the association).
-  * FP accounting — APPROXIMATED: joints of unmatched predicted poses and
-    non-hit joints of matched poses count as FPs (poseval feeds the same
-    per-joint correspondence sets into motmetrics accumulators).
+  * FP accounting — APPROXIMATED, now BOUNDED (round-2 VERDICT item 4):
+    two independently-written backends are provided and differentially
+    tested against each other (tests/test_coco_eval.py):
+
+      - the direct formulation below (joints of unmatched predicted poses
+        and non-hit joints of matched poses count as FPs);
+      - ``evaluate_posetrack_mot`` — a motmetrics-accumulator event-stream
+        formulation (per joint: objects = labeled GT joints, hypotheses =
+        ALL predicted joints, binary distance from the pose-level
+        correspondence; per-frame events MATCH/MISS/FP/IDSW with
+        gap-tolerant association memory, exactly py-motmetrics
+        MOTAccumulator semantics, which is what poseval feeds).
+
+    Proven relationship (asserted by the seeded differential test, 200
+    random scenarios): misses, switches and AP agree EXACTLY; the ONLY
+    divergence is that the accumulator backend also counts as FP a matched
+    pose's predicted joint whose GT joint is UNLABELED (motmetrics sees a
+    hypothesis with no object; the direct backend ignores it). With fully
+    labeled GT the two backends are bitwise-identical, so the residual
+    poseval approximation is confined to (a) greedy tie order and (b) that
+    unlabeled-joint FP choice, whose MOTA impact is bounded by
+    #unlabeled-joints-of-matched-poses / #labeled-GT-joints per joint
+    class (reported as ``fp_unlabeled`` by the accumulator backend).
 
 Inputs are per-frame lists:
   gt:   {track_id, keypoints (K, 3) [x, y, labeled], head_size}
@@ -189,11 +209,16 @@ def evaluate_posetrack(gt_sequences: Sequence[Sequence[List[dict]]],
     per_joint_ap = np.array([
         _average_precision(joint_scores[k], joint_tp[k], joint_gt_count[k])
         for k in range(num_joints)])
+    return _finalize(per_joint_ap, joint_gt_count, miss, fp, switches)
+
+
+def _finalize(per_joint_ap, joint_gt_count, miss, fp, switches,
+              extra=None):
     with np.errstate(divide="ignore", invalid="ignore"):
         per_joint_mota = 1.0 - (miss + fp + switches) / np.maximum(
             joint_gt_count, 1)
     valid = joint_gt_count > 0
-    return {
+    out = {
         "mAP": float(np.nanmean(per_joint_ap[valid])) if valid.any() else 0.0,
         "MOTA": float(np.mean(per_joint_mota[valid])) if valid.any() else 0.0,
         "per_joint_AP": per_joint_ap,
@@ -202,3 +227,112 @@ def evaluate_posetrack(gt_sequences: Sequence[Sequence[List[dict]]],
         "num_misses": int(miss.sum()),
         "num_fps": int(fp.sum()),
     }
+    if extra:
+        out.update(extra)
+    return out
+
+
+def evaluate_posetrack_mot(gt_sequences: Sequence[Sequence[List[dict]]],
+                           pred_sequences: Sequence[Sequence[List[dict]]],
+                           num_joints: int = 17):
+    """Second backend (module docstring "FP accounting"): per-joint
+    MOTAccumulator-style event streams, py-motmetrics semantics — the
+    formulation poseval actually feeds.
+
+    Per sequence, per frame, per joint k:
+      objects     O = GT track ids whose joint k is labeled
+      hypotheses  H = ALL predicted track ids (our prediction format always
+                      carries K joints, as the reference's output does)
+      distance    d[o, h] = 0 iff the pose-level greedy PCKh correspondence
+                  matched o's pose to h's pose AND joint k hit, else inf
+
+    Events: previous associations are re-used when still finite (motmetrics
+    association memory), remaining finite entries are matched (each row/col
+    has at most one finite entry here, so Munkres degenerates to a direct
+    pairing); MATCH checks the gap-tolerant last-association for IDSW;
+    MISS = |O| - matches; FP = |H| - matches.
+
+    Extra key ``fp_unlabeled``: FPs charged for matched poses' predicted
+    joints whose GT joint is unlabeled — exactly the term by which this
+    backend differs from ``evaluate_posetrack`` (differentially tested).
+
+    AP is association-free and identical to the direct backend's.
+    """
+    joint_scores = [[] for _ in range(num_joints)]
+    joint_tp = [[] for _ in range(num_joints)]
+    joint_gt_count = np.zeros(num_joints, np.int64)
+    miss = np.zeros(num_joints, np.int64)
+    fp = np.zeros(num_joints, np.int64)
+    fp_unlabeled = np.zeros(num_joints, np.int64)
+    switches = np.zeros(num_joints, np.int64)
+
+    for gt_seq, pred_seq in zip(gt_sequences, pred_sequences):
+        # gap-tolerant association memory, one map per joint class
+        last_assoc = [dict() for _ in range(num_joints)]
+        for gts, preds in zip(gt_seq, pred_seq):
+            matches = match_frame(gts, preds)
+            pose_match = {gi: (pi, hits) for gi, pi, hits in matches}
+            matched_pred = {pi for _, pi, _ in matches}
+
+            # AP accumulation — same entries in the same insertion order as
+            # the direct backend (the VOCap mergesort keeps insertion order
+            # on score ties, so order is part of bitwise equality)
+            for gi, pi, hits in matches:
+                labeled = np.asarray(gts[gi]["keypoints"])[:, 2] > 0
+                pconf = _joint_conf(preds[pi])
+                for k in range(num_joints):
+                    if labeled[k] and hits[k]:
+                        joint_scores[k].append(pconf[k])
+                        joint_tp[k].append(True)
+            for pi, p in enumerate(preds):
+                if pi not in matched_pred:
+                    pconf = _joint_conf(p)
+                    for k in range(num_joints):
+                        joint_scores[k].append(pconf[k])
+                        joint_tp[k].append(False)
+            for gi, pi, hits in matches:
+                labeled = np.asarray(gts[gi]["keypoints"])[:, 2] > 0
+                pconf = _joint_conf(preds[pi])
+                for k in range(num_joints):
+                    if labeled[k] and not hits[k]:
+                        joint_scores[k].append(pconf[k])
+                        joint_tp[k].append(False)
+
+            for k in range(num_joints):
+                objects = []      # (gt_track_id, matched hyp id or None)
+                for gi, g in enumerate(gts):
+                    labeled = np.asarray(g["keypoints"])[:, 2] > 0
+                    if not labeled[k]:
+                        continue
+                    joint_gt_count[k] += 1
+                    hyp = None
+                    if gi in pose_match:
+                        pi, hits = pose_match[gi]
+                        if hits[k]:
+                            hyp = preds[pi]["track_id"]
+                    objects.append((g["track_id"], hyp))
+                n_hyp = len(preds)
+                n_match = 0
+                for oid, hyp in objects:
+                    if hyp is None:
+                        miss[k] += 1
+                        continue
+                    n_match += 1
+                    prev = last_assoc[k].get(oid)
+                    if prev is not None and prev != hyp:
+                        switches[k] += 1
+                    last_assoc[k][oid] = hyp
+                fp[k] += n_hyp - n_match
+                # attribution of the divergence term: matched poses whose
+                # GT joint k is unlabeled contribute a hypothesis with no
+                # object
+                for gi, (pi, hits) in pose_match.items():
+                    labeled = np.asarray(gts[gi]["keypoints"])[:, 2] > 0
+                    if not labeled[k]:
+                        fp_unlabeled[k] += 1
+
+    per_joint_ap = np.array([
+        _average_precision(joint_scores[k], joint_tp[k], joint_gt_count[k])
+        for k in range(num_joints)])
+    return _finalize(per_joint_ap, joint_gt_count, miss, fp, switches,
+                     extra={"fp_unlabeled": int(fp_unlabeled.sum())})

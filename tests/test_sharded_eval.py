@@ -12,6 +12,7 @@ documents why (it is a property of any data-parallel reduction, not a
 sharding bug)."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
@@ -56,12 +57,17 @@ def test_sharded_forward_matches_unsharded(rng):
     np.testing.assert_array_equal(got, want)
 
 
-def test_sharded_train_step_matches_unsharded(rng):
+@pytest.mark.parametrize("ndev", [2, 4, 8])
+def test_sharded_train_step_matches_unsharded(rng, ndev):
     """Gradient psum across the mesh == single-device gradient (the
-    DataParallel equivalence)."""
+    DataParallel equivalence), regression-pinned ACROSS mesh sizes 2/4/8
+    (VERDICT round-2 item 7): the 1e-6 bound is a property of the
+    reduction-order noise of ANY data-parallel psum, so it must hold at
+    every mesh width, not just 8."""
     from dataclasses import replace
 
-    mesh = make_mesh()
+    mesh = make_mesh(num_devices=ndev)
+    assert mesh.size == ndev
     cfg = Config(model=ModelConfig(image_size=(32, 24), heatmap_size=(8, 6)))
     # SGD: linear in the gradient, so cross-device reduction-order noise
     # stays tiny. (Adam's first step ~ sign(grad) amplifies epsilon-level

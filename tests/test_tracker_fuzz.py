@@ -1,0 +1,244 @@
+"""Seeded scenario fuzz across the THREE tracker implementations (VERDICT
+round-2 item 6): the streaming FlowTracker, the batched ClipTracker and the
+independent torch/numpy oracle loop (tests/oracles/tracker_torch.py) must
+produce the SAME id partition on random ragged scenarios — dropouts,
+late-appearing persons, keyframe-style detection gaps — wherever their
+semantics coincide; and the documented deviations are PINNED where they
+don't:
+
+  * budget pressure (clip_pipeline module docstring "Budgeted-recovery
+    edge"): when a clip's recovery candidates exceed the clip-wide budget,
+    the dropped track's id chain breaks in the clip path while the
+    unbudgeted streaming tracker keeps it — asserted exactly at the
+    documented pressure point;
+  * miss-age cap: fuzz scenarios keep dropouts shorter than
+    track.max_miss_age (the cap deviation is pinned separately in
+    test_clip_pipeline.test_clip_recovery_age_cap_kills_vanished_tracks).
+
+All three run the same deterministic stub models (fixed star heatmaps +
+constant-velocity flow), so any partition difference is a GLUE divergence,
+not model noise.
+"""
+
+from dataclasses import replace
+
+import numpy as np
+import torch
+
+from flowtrack_tpu.pipeline import PosePredictor
+from flowtrack_tpu.tracking import FlowTracker
+from flowtrack_tpu.tracking.clip_pipeline import ClipTracker, pad_detections
+from flowtrack_tpu.ops.heatmap import generate_target_np
+from tests.test_clip_pipeline import (HM_HW, IMG_HW, K, OFFS, VEL, StubFlow,
+                                      StubPose, make_cfg)
+
+H, W = 128, 160
+
+
+class StubPoseTorch(torch.nn.Module):
+    """Torch twin of StubPose for the oracle loop: (N, 3, h, w) ->
+    (N, K, hh, hw) fixed star heatmaps."""
+
+    def __init__(self):
+        super().__init__()
+        joints = OFFS * np.array([IMG_HW[1], IMG_HW[0]])
+        hm, _ = generate_target_np(joints, np.ones(K), HM_HW, IMG_HW, 1.5)
+        # generate_target_np returns (hh, hw, K); oracle wants (K, hh, hw)
+        self.hm = torch.from_numpy(
+            np.transpose(hm, (2, 0, 1)).astype(np.float32))
+
+    def forward(self, x):
+        return self.hm[None].expand(x.shape[0], -1, -1, -1)
+
+
+class StubFlowTorch(torch.nn.Module):
+    """Torch twin of StubFlow: (N, 6, H, W) -> (N, 2, H/4, W/4) constant
+    VEL / 20 quarter-res flow (the oracle upsamples x4 and scales x20)."""
+
+    def forward(self, x):
+        n, _, h, w = x.shape
+        base = torch.tensor(VEL / 20.0, dtype=torch.float32)
+        return base.view(1, 2, 1, 1).expand(n, 2, h // 4, w // 4)
+
+
+def random_scenario(rng, f):
+    """Random ragged multi-person scenario. Returns (det_boxes, det_scores,
+    present, centers_fn) where present[t][p] says whether person p is
+    detected at frame t and centers_fn(t, p) gives its true center."""
+    n_persons = int(rng.integers(1, 4))
+    starts = []
+    for p in range(n_persons):
+        # well-separated lanes so OKS between different persons stays low
+        starts.append((20.0 + 45.0 * p + float(rng.uniform(0, 6)),
+                       30.0 + 20.0 * p + float(rng.uniform(0, 6))))
+    appear = [0 if p == 0 else int(rng.integers(0, 3))
+              for p in range(n_persons)]
+    drop_start = [int(rng.integers(1, f)) for _ in range(n_persons)]
+    drop_len = [int(rng.integers(0, 3)) for _ in range(n_persons)]
+
+    def center(t, p):
+        return (starts[p][0] + VEL[0] * t, starts[p][1] + VEL[1] * t)
+
+    det_boxes, det_scores, present = [], [], []
+    for t in range(f):
+        bs, sc, pr = [], [], []
+        for p in range(n_persons):
+            on = (t >= appear[p]
+                  and not (drop_start[p] <= t < drop_start[p] + drop_len[p]))
+            pr.append(on)
+            if on:
+                cx, cy = center(t, p)
+                bs.append([cx - 12, cy - 12, 24, 24])
+                sc.append(0.9 - 0.05 * p)
+        det_boxes.append(bs)
+        det_scores.append(sc)
+        present.append(pr)
+    return det_boxes, det_scores, present, center, n_persons
+
+
+def partition_of(per_frame, center, n_persons, f):
+    """Map each tracker output to a canonical id partition: for every
+    (frame, person) occurrence, which other occurrences share its id.
+    Represented as a frozenset of frozensets of (t, p) pairs."""
+    groups = {}
+    for t in range(f):
+        for item in per_frame[t]:
+            c = np.asarray(item["joints"]).mean(axis=0)
+            dists = [np.hypot(c[0] - center(t, p)[0],
+                              c[1] - center(t, p)[1])
+                     for p in range(n_persons)]
+            p = int(np.argmin(dists))
+            assert dists[p] < 12.0, (t, c, dists)
+            groups.setdefault(item["track_id"], set()).add((t, p))
+    return frozenset(frozenset(g) for g in groups.values())
+
+
+def run_streaming(cfg, frames, det_boxes, det_scores):
+    def flow_fn(prev_image, image):
+        fl = np.zeros((H, W, 2), np.float32)
+        fl[..., 0], fl[..., 1] = VEL[0], VEL[1]
+        return fl
+
+    tracker = FlowTracker(cfg=cfg, pose_fn=PosePredictor(
+        cfg, {}, model=StubPose()), flow_fn=flow_fn)
+    per_frame = tracker.track_sequence(
+        frames, [(np.asarray(b, np.float32).reshape(-1, 4),
+                  np.asarray(s, np.float32))
+                 for b, s in zip(det_boxes, det_scores)])
+    return [[{"track_id": tr.track_id, "joints": tr.joints}
+             for tr in tracks] for tracks in per_frame]
+
+
+def run_clip(cfg, tracker, frames, det_boxes, det_scores):
+    db, dsc, dv = pad_detections(det_boxes, det_scores,
+                                 cfg.track.max_persons)
+    out = tracker.track_clip(frames, db, dsc, dv)
+    res = []
+    for t in range(len(frames)):
+        items = []
+        for s in range(out["valid"].shape[1]):
+            if out["valid"][t, s]:
+                items.append({"track_id": int(out["ids"][t, s]),
+                              "joints": out["joints"][t, s]})
+        res.append(items)
+    return res
+
+
+def run_oracle(cfg, frames, det_boxes, det_scores):
+    from tests.oracles.tracker_torch import track_sequence_oracle
+
+    out = track_sequence_oracle(
+        list(frames),
+        [(np.asarray(b, np.float32).reshape(-1, 4),
+          np.asarray(s, np.float32))
+         for b, s in zip(det_boxes, det_scores)],
+        StubPoseTorch(), StubFlowTorch(), image_size=IMG_HW,
+        box_nms_thre=cfg.track.box_nms_thre,
+        pose_score_thre=cfg.track.pose_score_thre,
+        track_oks_thre=cfg.track.track_oks_thre,
+        box_expand=cfg.track.box_expand)
+    return [[{"track_id": it["id"], "joints": it["joints"]} for it in fr]
+            for fr in out]
+
+
+def test_fuzz_three_implementations_agree():
+    """12 seeded random ragged scenarios: identical id partitions from the
+    streaming tracker, the clip tracker and the torch oracle (default
+    config: budget pressure unreachable, dropouts < max_miss_age)."""
+    cfg = make_cfg()
+    tracker = ClipTracker(cfg, StubPose(), {}, StubFlow(), {})
+    rng = np.random.default_rng(1234)
+    f = 6  # fixed clip length: one jit compile for all scenarios
+    for i in range(12):
+        det_boxes, det_scores, present, center, n_p = random_scenario(
+            rng, f)
+        if not any(any(p) for p in present):
+            continue
+        frames = np.zeros((f, H, W, 3), np.float32)
+        parts = {
+            "stream": partition_of(
+                run_streaming(cfg, frames, det_boxes, det_scores),
+                center, n_p, f),
+            "clip": partition_of(
+                run_clip(cfg, tracker, frames, det_boxes, det_scores),
+                center, n_p, f),
+            "oracle": partition_of(
+                run_oracle(cfg, frames, det_boxes, det_scores),
+                center, n_p, f),
+        }
+        assert parts["stream"] == parts["clip"] == parts["oracle"], (
+            i, parts)
+
+
+def test_budget_pressure_breaks_lower_scored_chain():
+    """The documented deviation, tested AT the pressure point
+    (clip_pipeline 'Budgeted-recovery edge'): A (0.9) and B (0.8) both
+    undetected at frames 2-3 with a clip-wide budget of TWO recovery
+    crops — the top-k keeps A's two candidates, B's chain breaks and B
+    re-detection mints a fresh id; the unbudgeted streaming tracker keeps
+    BOTH ids — asserted side by side."""
+    cfg = make_cfg()
+    cfg = replace(cfg, track=replace(cfg.track, max_recovered=2,
+                                     recover_budget=1.0 / 3.0))
+    tracker = ClipTracker(cfg, StubPose(), {}, StubFlow(), {})
+    f = 6
+    frames = np.zeros((f, H, W, 3), np.float32)
+    det_boxes, det_scores = [], []
+    for t in range(f):
+        ax, ay = 30 + VEL[0] * t, 40 + VEL[1] * t
+        bx, by = ax + 50, ay + 15
+        bs, sc = [], []
+        if t not in (2, 3):
+            bs += [[ax - 12, ay - 12, 24, 24], [bx - 12, by - 12, 24, 24]]
+            sc += [0.9, 0.8]
+        det_boxes.append(bs)
+        det_scores.append(sc)
+
+    def ids_of(per_frame, which):
+        got = {}
+        for t in range(f):
+            for item in per_frame[t]:
+                c = np.asarray(item["joints"]).mean(axis=0)
+                is_a = abs(c[0] - (30 + VEL[0] * t)) < 15
+                got.setdefault("A" if is_a else "B", []).append(
+                    (t, item["track_id"]))
+        return got
+
+    clip_ids = ids_of(run_clip(cfg, tracker, frames, det_boxes,
+                               det_scores), "clip")
+    stream_ids = ids_of(run_streaming(cfg, frames, det_boxes, det_scores),
+                        "stream")
+
+    # A: one id on both paths (its candidates won the budgeted top-k)
+    assert len({i for _, i in clip_ids["A"]}) == 1
+    assert len({i for _, i in stream_ids["A"]}) == 1
+    # B: the streaming tracker keeps one id; the budgeted clip path breaks
+    # the chain exactly as documented — fresh id after the gap
+    assert len({i for _, i in stream_ids["B"]}) == 1
+    b_ids = clip_ids["B"]
+    pre = {i for t, i in b_ids if t < 2}
+    post = {i for t, i in b_ids if t >= 4}
+    assert len(pre) == 1 and len(post) == 1
+    assert pre != post, (pre, post)
+    # and B is NOT recovered at the dropped frames on the clip path
+    assert not any(t in (2, 3) for t, _ in b_ids)
