@@ -55,7 +55,8 @@ may be SEEDED with the previous clip's final track state — last-frame union
 poses, validity, scores, miss ages and GLOBAL ids plus the next-id counter.
 The seed is the state AT the clip's first frame (consecutive clips overlap
 by that one frame, utils/video.clip_spans), so both device scans start from
-it through a zero flow: frame 0 re-matches the seed against its candidates
+a frame-0 step with IDENTITY propagation (run outside the scans — no flow
+needed): frame 0 re-matches the seed against its candidates
 (identical frame -> OKS ~ 1 for re-detected persons) and, crucially, a seed
 track UNDETECTED at the boundary frame emits a recovery candidate at frame
 0 via the normal 3a/3b machinery — occlusion exactly at a clip boundary no
@@ -162,17 +163,21 @@ class ClipTracker:
             return preds, maxvals, scores
 
         def recovery_pass(pose_vars, frames, preds, valid, scores,
-                          det_boxes, flows_ext, frame_valid, budget_frames,
+                          det_boxes, flows, frame_valid, budget_frames,
                           seed):
             """Stages 3a/3b (module docstring): emit flow-propagated boxes
             for OKS-unmatched tracks, pose the clip-wide top-budget boxes in
             one dense batch, scatter back to (F, R) candidate slots.
 
-            The scan runs over ALL F frames; its carry starts from ``seed``
-            = (joints, valid, scores, ages) over the T union slots — the
-            previous clip's final state at this clip's frame 0, or the
-            empty seed (docstring "Cross-clip continuity"). flows_ext has a
-            zero flow prepended for the frame-0 (seed -> frame 0) step.
+            The carry starts from ``seed`` = (joints, valid, scores, ages)
+            over the T union slots — the previous clip's final state at
+            this clip's frame 0, or the empty seed (docstring "Cross-clip
+            continuity"). The seed is AT frame 0's own timestamp, so its
+            step runs OUTSIDE the scan with identity propagation (no zero
+            flow materialized, scan stays at F-1 steps — measured 5% of
+            headline throughput vs the prepended-zero-flow formulation) and
+            without the miss-age increment (the previous clip already
+            counted that physical frame's miss).
 
             ``budget_frames`` (static) is the REAL frame count: a
             frame-sharded ragged clip is padded before tracing, and sizing
@@ -187,10 +192,8 @@ class ClipTracker:
                          max(r, int(np.ceil(fb * tcfg.recover_budget))))
             neg = jnp.asarray(-jnp.inf, jnp.float32)
 
-            def gen_step(carry, xs):
+            def gen_core(carry, dj, dv, ds, dbox, prop, fv_t, inc_t):
                 tj, tv, ts, ta = carry
-                dj, dv, ds, dbox, flow_t, fv_t, inc_t = xs
-                prop = propagate_poses(tj, flow_t)
                 sim = oks_matrix(prop, pose_area(prop), dj, pose_area(dj))
                 assign = greedy_match(sim, thr, tv, dv)          # (p,)
                 row_matched = jnp.any(
@@ -218,15 +221,24 @@ class ClipTracker:
                                           rec_a]))
                 return carry, (rec_box, rec_v, rec_s, rec_a)
 
-            # frame 0's miss age is NOT incremented: its physical frame is
-            # the previous clip's last frame, whose miss was already counted
-            # there (module docstring "Cross-clip continuity")
-            inc = jnp.concatenate([jnp.zeros((1,), jnp.int32),
-                                   jnp.ones((f - 1,), jnp.int32)])
+            def gen_step(carry, xs):
+                dj, dv, ds, dbox, flow_t, fv_t = xs
+                prop = propagate_poses(carry[0], flow_t)
+                return gen_core(carry, dj, dv, ds, dbox, prop, fv_t,
+                                jnp.asarray(1, jnp.int32))
+
+            # frame 0: seed -> frame 0, identity propagation, no age bump
+            carry0, (rb0, rv0, rs0, ra0) = gen_core(
+                seed, preds[0], valid[0], scores[0], det_boxes[0], seed[0],
+                frame_valid[0], jnp.asarray(0, jnp.int32))
             _, (rec_box, rec_v, rec_s, rec_ages) = jax.lax.scan(
-                gen_step, seed,
-                (preds, valid, scores, det_boxes, flows_ext,
-                 frame_valid, inc))
+                gen_step, carry0,
+                (preds[1:], valid[1:], scores[1:], det_boxes[1:], flows,
+                 frame_valid[1:]))
+            rec_box = jnp.concatenate([rb0[None], rec_box])
+            rec_v = jnp.concatenate([rv0[None], rec_v])
+            rec_s = jnp.concatenate([rs0[None], rec_s])
+            rec_ages = jnp.concatenate([ra0[None], rec_ages])
 
             # ---- 3b. clip-wide budgeted selection -> ONE dense pose batch
             k = preds.shape[2]
@@ -287,10 +299,6 @@ class ClipTracker:
                                          div_flow)
             else:
                 flows = jnp.zeros((0, h, w, 2), jnp.float32)
-            # zero flow for the (seed -> frame 0) step: the seed state is at
-            # frame 0's own timestamp (the shared overlap frame)
-            flows_ext = jnp.concatenate(
-                [jnp.zeros((1, h, w, 2), flows.dtype), flows])
 
             # ---- 2. pose on all detector persons of all frames, one call;
             # crops emitted in the model compute dtype (bf16) to halve the
@@ -316,7 +324,7 @@ class ClipTracker:
                             seed_ages.astype(jnp.int32))
                 rec_preds, rec_maxvals, rec_scores, rec_valid, rec_ages = \
                     recovery_pass(pose_vars, frames, preds, valid, scores,
-                                  det_boxes, flows_ext, frame_valid,
+                                  det_boxes, flows, frame_valid,
                                   budget_frames, rec_seed)
                 preds = jnp.concatenate([preds, rec_preds], axis=1)
                 maxvals = jnp.concatenate([maxvals, rec_maxvals], axis=1)
@@ -328,9 +336,10 @@ class ClipTracker:
                 ages = jnp.zeros((f, p), jnp.int32)
             t_slots = preds.shape[1]
 
-            # ---- 4. sequential id chain (cheap), lax.scan over ALL frames
-            # starting from the seed tracks (empty seed -> frame 0 mints
-            # fresh ids exactly as an unseeded clip would)
+            # ---- 4. sequential id chain (cheap), lax.scan over frames.
+            # Frame 0 matches the SEED (identity propagation — the seed is
+            # at frame 0's own timestamp) outside the scan; an empty seed
+            # mints fresh ids exactly as an unseeded clip would.
             def step(carry, xs):
                 tj, tvalid, tids, nid = carry
                 cj, cvalid, flow_t = xs
@@ -340,11 +349,17 @@ class ClipTracker:
                 ids, nid = _assign_ids(assign, cvalid, tids, nid)
                 return (cj, cvalid, jnp.maximum(ids, 0), nid), ids
 
-            carry0 = (seed_joints, seed_valid,
-                      jnp.maximum(seed_ids.astype(jnp.int32), 0),
-                      next_id0.astype(jnp.int32))
-            (_, _, _, nid_fin), all_ids = jax.lax.scan(
-                step, carry0, (preds, valid, flows_ext))
+            sim0 = oks_matrix(seed_joints, pose_area(seed_joints),
+                              preds[0], pose_area(preds[0]))
+            assign0 = greedy_match(sim0, thr, seed_valid, valid[0])
+            ids0, nid0 = _assign_ids(
+                assign0, valid[0],
+                jnp.maximum(seed_ids.astype(jnp.int32), 0),
+                next_id0.astype(jnp.int32))
+            carry0 = (preds[0], valid[0], jnp.maximum(ids0, 0), nid0)
+            (_, _, _, nid_fin), ids_rest = jax.lax.scan(
+                step, carry0, (preds[1:], valid[1:], flows))
+            all_ids = jnp.concatenate([ids0[None], ids_rest], axis=0)
             # final live-track state = next clip's seed (global ids); for a
             # padded (frame-sharded ragged) clip the last REAL frame is
             # budget_frames - 1, not the padded tail (whose frames are all

@@ -524,3 +524,75 @@ def test_keyframe_mode_frame_sharded_matches_unsharded():
                for t in range(f)]
     assert all(len(t) == 1 for t in tracked), tracked
     assert len({t[0] for t in tracked}) == 1, tracked
+
+
+def test_seeded_clip_frame_sharded_matches_unsharded():
+    """Cross-clip seed carry under FRAME sharding: (a) a ragged (padded)
+    clip must extract seed_out from the last REAL frame, not the invalid
+    padded tail; (b) a seeded clip sharded over the mesh must reproduce the
+    unsharded seeded run's global ids exactly."""
+    import jax
+
+    from flowtrack_tpu.parallel import batch_sharding, make_mesh
+
+    cfg = make_cfg()
+    tracker = ClipTracker(cfg, StubPose(), {}, StubFlow(), {})
+    mesh = make_mesh()
+
+    # clip 1: ragged (6 frames vs 8 devices); one moving person
+    f1 = 6
+    frames1 = np.zeros((f1, 128, 160, 3), np.float32)
+    boxes, scores = [], []
+    for t in range(f1):
+        ax, ay = 40 + VEL[0] * t, 50 + VEL[1] * t
+        boxes.append([[ax - 15, ay - 15, 30, 30]])
+        scores.append([0.9])
+    db, dsc, dv = pad_detections(boxes, scores, cfg.track.max_persons)
+    want1 = tracker.run_prepared(tracker.prepare(frames1, db, dsc, dv))
+    seed_plain = want1[5]
+    got1 = tracker.track_clip(frames1, db, dsc, dv,
+                              frame_sharding=batch_sharding(mesh))
+
+    # the sharded+padded run's seed must equal the unsharded run's seed
+    args = tracker.prepare(frames1, db, dsc, dv)
+    from flowtrack_tpu.parallel import pad_to_multiple
+    fr_p, _ = pad_to_multiple(frames1, mesh.size)
+    db_p, _ = pad_to_multiple(db, mesh.size)
+    dsc_p, _ = pad_to_multiple(dsc, mesh.size)
+    dv_p, _ = pad_to_multiple(dv, mesh.size)
+    fv_p, _ = pad_to_multiple(np.ones((f1,), bool), mesh.size)
+    args_p = tracker.prepare(fr_p, db_p, dsc_p, dv_p, fv_p)
+    args_p = tuple(jax.device_put(a, batch_sharding(mesh)) for a in args_p)
+    out_p = tracker.run_prepared(args_p, budget_frames=f1)
+    seed_sharded = out_p[5]
+    for a, b in zip(seed_plain, seed_sharded):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-4)
+
+    # clip 2 (overlapping frame): person undetected at the overlap frame;
+    # the seeded run must keep its id — sharded == unsharded
+    f2 = 6
+    start = f1 - 1
+    frames2 = np.zeros((f2, 128, 160, 3), np.float32)
+    boxes2, scores2 = [], []
+    for tt in range(f2):
+        t = start + tt
+        ax, ay = 40 + VEL[0] * t, 50 + VEL[1] * t
+        if tt == 0:          # occluded exactly at the boundary frame
+            boxes2.append(np.zeros((0, 4), np.float32))
+            scores2.append(np.zeros((0,), np.float32))
+        else:
+            boxes2.append([[ax - 15, ay - 15, 30, 30]])
+            scores2.append([0.9])
+    db2, dsc2, dv2 = pad_detections(boxes2, scores2, cfg.track.max_persons)
+    want2 = tracker.track_clip(frames2, db2, dsc2, dv2, seed=seed_plain)
+    got2 = tracker.track_clip(frames2, db2, dsc2, dv2, seed=seed_plain,
+                              frame_sharding=batch_sharding(mesh))
+    np.testing.assert_array_equal(got2["ids"], want2["ids"])
+    np.testing.assert_array_equal(got2["valid"], want2["valid"])
+    # the person keeps ONE id from clip 1 through the occluded boundary
+    id1 = want1[3]  # ids array of clip 1
+    last_id = int(np.asarray(id1)[-1][np.asarray(want1[4])[-1]][0])
+    for t in range(f2):
+        live = want2["ids"][t][want2["valid"][t]]
+        assert last_id in live.tolist(), (t, want2["ids"], want2["valid"])
