@@ -393,10 +393,15 @@ class ClipTracker:
 
     def prepare(self, frames: np.ndarray, det_boxes: np.ndarray,
                 det_scores: np.ndarray, det_valid: np.ndarray,
-                frame_valid: Optional[np.ndarray] = None):
+                frame_valid: Optional[np.ndarray] = None,
+                frame_offset: int = 0):
         """Host prep + H2D: returns the device-resident arg tuple for
         run_prepared. Split out so callers can overlap the transfer of clip
-        t+1 with the compute of clip t (data/loader.device_prefetch style)."""
+        t+1 with the compute of clip t (data/loader.device_prefetch style).
+
+        ``frame_offset``: the clip's first frame's GLOBAL index — keyframe
+        masking must follow the VIDEO's cadence, not restart per clip
+        (track_video_clips passes each span's start)."""
         f, p = det_scores.shape
         if frame_valid is None:
             frame_valid = np.ones((f,), bool)
@@ -406,7 +411,8 @@ class ClipTracker:
             # persons survive those frames through the recovery slots
             # (requires track.max_miss_age >= k - 1 and enough
             # recover_budget; see module docstring stage 3a/3b)
-            det_valid = det_valid & (np.arange(f)[:, None] % k == 0)
+            det_valid = det_valid & (
+                (np.arange(f) + frame_offset)[:, None] % k == 0)
         centers = np.zeros((f, p, 2), np.float32)
         scales = np.full((f, p, 2), 1e-3, np.float32)
         boxes_xyxy = np.zeros((f, p, 4), np.float32)

@@ -127,7 +127,8 @@ def track_video_clips(tracker, frames: np.ndarray, det_boxes, det_scores,
                                      [det_scores[i] for i in idx],
                                      max_persons)
         return idx, tracker.run_prepared(
-            tracker.prepare(frames[idx], db, dsc, dv), seed=seed)
+            tracker.prepare(frames[idx], db, dsc, dv,
+                            frame_offset=idx[0]), seed=seed)
 
     spans = clip_spans(n, clip_len)
     pending = dispatch(spans[0], None)

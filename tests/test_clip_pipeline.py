@@ -596,3 +596,28 @@ def test_seeded_clip_frame_sharded_matches_unsharded():
     for t in range(f2):
         live = want2["ids"][t][want2["valid"][t]]
         assert last_id in live.tolist(), (t, want2["ids"], want2["valid"])
+
+
+def test_prepare_keyframe_phase_follows_global_frame_index():
+    """Keyframe masking must follow the VIDEO's cadence across clip
+    boundaries: a clip starting at global frame 3 with keyframe_interval=2
+    consumes detections at global frames 4, 6, ... — not at its local
+    frame 0 (review fix; track_video_clips passes frame_offset=span
+    start)."""
+    cfg = make_cfg()
+    cfg = replace(cfg, track=replace(cfg.track, keyframe_interval=2))
+    tracker = ClipTracker(cfg, StubPose(), {}, StubFlow(), {})
+    f = 4
+    frames = np.zeros((f, 64, 96, 3), np.float32)
+    db = np.tile(np.array([10, 10, 20, 20], np.float32), (f, 2, 1))
+    dsc = np.full((f, 2), 0.9, np.float32)
+    dv = np.ones((f, 2), bool)
+
+    args0 = tracker.prepare(frames, db, dsc, dv, frame_offset=0)
+    args3 = tracker.prepare(frames, db, dsc, dv, frame_offset=3)
+    # arg index 4 is det_valid: offset 0 -> keyframes at local 0, 2;
+    # offset 3 -> global frames 3..6, keyframes at global 4, 6 = local 1, 3
+    np.testing.assert_array_equal(
+        np.asarray(args0[4])[:, 0], [True, False, True, False])
+    np.testing.assert_array_equal(
+        np.asarray(args3[4])[:, 0], [False, True, False, True])

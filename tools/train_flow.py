@@ -1,0 +1,108 @@
+#!/usr/bin/env python
+"""Train/finetune a FlowNet on an optical-flow corpus (the reference
+lineage's FlowNet-training counterpart: flownet2-pytorch ``main.py`` over
+FlyingChairs/Sintel-style data).
+
+Epoch loop over ``data/flow_dataset.FlowPairDataset`` batches; the jitted
+step fuses device-side pair normalization (``preprocess_pair``) with the
+multiscale-EPE train step (``engine/flow_train.flow_train_step``). Batches
+are sharded over the data mesh (SPMD DP — the gradient psum is inserted by
+XLA). Saves ``.npz`` flax variables consumable by ``tools/eval_flow.py``
+and the tracking pipelines.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import logging
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from flowtrack_tpu.config import apply_overrides, get_config
+from flowtrack_tpu.data.flow_dataset import FlowPairDataset, flow_batches
+from flowtrack_tpu.engine.checkpoint import save_npz_variables
+from flowtrack_tpu.engine.flow_train import flow_train_step
+from flowtrack_tpu.engine.metrics import AverageMeter
+from flowtrack_tpu.engine.train import create_train_state
+from flowtrack_tpu.models.flownet import get_flow_net, preprocess_pair
+from flowtrack_tpu.parallel import batch_sharding, make_mesh, replicated
+from flowtrack_tpu.utils.logging import setup_logging
+
+log = logging.getLogger("flowtrack.train_flow")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cfg", default="flownet_s")
+    ap.add_argument("--triplets", default=None,
+                    help="FlyingChairs-style *_img1/_img2/_flow.flo dir")
+    ap.add_argument("--frames", default=None,
+                    help="Sintel-style ordered frames dir")
+    ap.add_argument("--gt-flow", default=None,
+                    help="Sintel-style per-pair .flo dir")
+    ap.add_argument("--crop", type=int, nargs=2, default=(320, 448),
+                    metavar=("H", "W"),
+                    help="static /64-divisible train crop")
+    ap.add_argument("--batch", type=int, default=8,
+                    help="PER-DEVICE batch (global = batch x mesh size, "
+                         "same convention as tools/train.py)")
+    ap.add_argument("--epochs", type=int, default=10)
+    ap.add_argument("--out", default="flownet_trained.npz")
+    ap.add_argument("opts", nargs="*", help="dotted overrides k=v")
+    args = ap.parse_args()
+    setup_logging()
+
+    cfg = apply_overrides(get_config(args.cfg), args.opts)
+    ch, cw = args.crop
+    if ch % 64 or cw % 64:
+        raise SystemExit("--crop must be /64-divisible (FlowNet encoders)")
+    ds = FlowPairDataset(root=args.triplets, frames_dir=args.frames,
+                         flow_dir=args.gt_flow, crop_size=(ch, cw),
+                         is_train=True)
+    log.info("flow corpus: %d pairs, crop %dx%d", len(ds), ch, cw)
+
+    mesh = make_mesh(cfg.mesh.num_devices)
+    data_sh = batch_sharding(mesh)
+    global_batch = args.batch * mesh.size
+    log.info("mesh: %s, global batch %d", mesh, global_batch)
+
+    model = get_flow_net(cfg.flow)
+    state = create_train_state(model, cfg, jax.random.PRNGKey(0),
+                               jnp.zeros((1, ch, cw, 6)))
+    state = jax.device_put(state, replicated(mesh))
+    div_flow = cfg.flow.div_flow
+    rgb_max = cfg.flow.rgb_max
+
+    @jax.jit
+    def step(state, im1, im2, flow):
+        batch = {"input": preprocess_pair(im1, im2, rgb_max),
+                 "flow": flow}
+        return flow_train_step(state, batch, div_flow=div_flow)
+
+    meter = AverageMeter()
+    for epoch in range(args.epochs):
+        t0 = time.time()
+        meter.reset()
+        for b in flow_batches(ds, global_batch, shuffle=True, seed=epoch,
+                              drop_last=False):
+            im1 = jax.device_put(b["im1"], data_sh)
+            im2 = jax.device_put(b["im2"], data_sh)
+            fl = jax.device_put(b["flow"], data_sh)
+            state, m = step(state, im1, im2, fl)
+            meter.update(float(m["epe"]), n=len(b["im1"]))
+        log.info(json.dumps({"epoch": epoch, "epe": round(meter.avg, 4),
+                             "seconds": round(time.time() - t0, 1)}))
+
+    variables = {"params": state.params}
+    if state.batch_stats:
+        variables["batch_stats"] = state.batch_stats
+    save_npz_variables(args.out, jax.tree.map(np.asarray, variables))
+    log.info("saved %s", args.out)
+
+
+if __name__ == "__main__":
+    main()
