@@ -52,6 +52,17 @@ class StubFlow:
         return jnp.broadcast_to(base, (f, h // 4, w // 4, 2))
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=None)
+def default_tracker():
+    """ONE ClipTracker (and so one jit cache) shared by every
+    default-config test in the suite — the per-test recompiles were the
+    bulk of this file's runtime. Stateless: safe to share."""
+    return ClipTracker(make_cfg(), StubPose(), {}, StubFlow(), {})
+
+
 def make_cfg():
     cfg = Config(model=ModelConfig(image_size=IMG_HW, heatmap_size=HM_HW,
                                    dtype="float32"))
@@ -63,7 +74,7 @@ def make_cfg():
 
 def test_clip_ids_stable_and_new_id_minted():
     cfg = make_cfg()
-    tracker = ClipTracker(cfg, StubPose(), {}, StubFlow(), {})
+    tracker = default_tracker()
 
     f = 5
     frames = np.zeros((f, 128, 160, 3), np.float32)
@@ -100,7 +111,7 @@ def test_clip_id_swap_resistance():
     their own candidates; greedy global-max must not cross-assign even
     though the neighbors are close enough to have nonzero OKS."""
     cfg = make_cfg()
-    tracker = ClipTracker(cfg, StubPose(), {}, StubFlow(), {})
+    tracker = default_tracker()
     f = 4
     frames = np.zeros((f, 128, 160, 3), np.float32)
     boxes, scores = [], []
@@ -123,7 +134,7 @@ def test_sharded_clips_match_sequential():
     from flowtrack_tpu.parallel import batch_sharding, make_mesh
 
     cfg = make_cfg()
-    tracker = ClipTracker(cfg, StubPose(), {}, StubFlow(), {})
+    tracker = default_tracker()
     mesh = make_mesh()
     assert mesh.size == 8
 
@@ -158,7 +169,7 @@ def test_frame_sharded_clip_matches_unsharded():
     from flowtrack_tpu.parallel import batch_sharding, make_mesh
 
     cfg = make_cfg()
-    tracker = ClipTracker(cfg, StubPose(), {}, StubFlow(), {})
+    tracker = default_tracker()
     mesh = make_mesh()
 
     for f in (8, 6):  # divisible and ragged
@@ -441,7 +452,7 @@ def test_2d_mesh_clip_by_frame_sharding():
     from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
     cfg = make_cfg()
-    tracker = ClipTracker(cfg, StubPose(), {}, StubFlow(), {})
+    tracker = default_tracker()
     devs = np.asarray(jax.devices()[:8]).reshape(2, 4)
     mesh = Mesh(devs, ("clip", "frame"))
     sharding = NamedSharding(mesh, P("clip", "frame"))
@@ -474,7 +485,7 @@ def test_uint8_frames_match_float32():
     """Video frames can stay uint8 end-to-end (4x less H2D than fp32 —
     the crop/flow paths cast on DEVICE); results must equal fp32 input."""
     cfg = make_cfg()
-    tracker = ClipTracker(cfg, StubPose(), {}, StubFlow(), {})
+    tracker = default_tracker()
     f = 4
     rng = np.random.default_rng(0)
     frames8 = rng.integers(0, 256, (f, 64, 96, 3), dtype=np.uint8)
@@ -536,7 +547,7 @@ def test_seeded_clip_frame_sharded_matches_unsharded():
     from flowtrack_tpu.parallel import batch_sharding, make_mesh
 
     cfg = make_cfg()
-    tracker = ClipTracker(cfg, StubPose(), {}, StubFlow(), {})
+    tracker = default_tracker()
     mesh = make_mesh()
 
     # clip 1: ragged (6 frames vs 8 devices); one moving person

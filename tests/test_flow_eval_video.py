@@ -83,10 +83,9 @@ class TestVideoUtils:
         the flow-propagated recovery slots), agreeing with the streaming
         FlowTracker on the same scenario."""
         from tests.test_clip_pipeline import (StubFlow, StubPose, VEL,
-                                              make_cfg)
+                                              default_tracker, make_cfg)
         from flowtrack_tpu.pipeline import PosePredictor
         from flowtrack_tpu.tracking import FlowTracker
-        from flowtrack_tpu.tracking.clip_pipeline import ClipTracker
 
         cfg = make_cfg()
         n, clip_len = 9, 4          # spans [0..3], [3..6], [6..8]
@@ -107,7 +106,7 @@ class TestVideoUtils:
             det_boxes.append(bs)
             det_scores.append(sc)
 
-        tracker = ClipTracker(cfg, StubPose(), {}, StubFlow(), {})
+        tracker = default_tracker()
         results = track_video_clips(tracker, frames, det_boxes, det_scores,
                                     clip_len=clip_len)
 
@@ -168,12 +167,9 @@ class TestVideoUtils:
     def test_track_video_clips_stitched(self, rng):
         """Same moving scenario as test_clip_pipeline, longer than one clip:
         stitched ids must stay globally stable across clip boundaries."""
-        from tests.test_clip_pipeline import (StubFlow, StubPose, VEL,
-                                              make_cfg)
-        from flowtrack_tpu.tracking.clip_pipeline import ClipTracker
+        from tests.test_clip_pipeline import VEL, default_tracker
 
-        cfg = make_cfg()
-        tracker = ClipTracker(cfg, StubPose(), {}, StubFlow(), {})
+        tracker = default_tracker()
         n = 9
         frames = np.zeros((n, 128, 160, 3), np.float32)
         det_boxes, det_scores = [], []

@@ -30,7 +30,7 @@ from flowtrack_tpu.tracking import FlowTracker
 from flowtrack_tpu.tracking.clip_pipeline import ClipTracker, pad_detections
 from flowtrack_tpu.ops.heatmap import generate_target_np
 from tests.test_clip_pipeline import (HM_HW, IMG_HW, K, OFFS, VEL, StubFlow,
-                                      StubPose, make_cfg)
+                                      StubPose, default_tracker, make_cfg)
 
 H, W = 128, 160
 
@@ -166,7 +166,7 @@ def test_fuzz_three_implementations_agree():
     streaming tracker, the clip tracker and the torch oracle (default
     config: budget pressure unreachable, dropouts < max_miss_age)."""
     cfg = make_cfg()
-    tracker = ClipTracker(cfg, StubPose(), {}, StubFlow(), {})
+    tracker = default_tracker()
     rng = np.random.default_rng(1234)
     f = 6  # fixed clip length: one jit compile for all scenarios
     for i in range(12):
