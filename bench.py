@@ -325,35 +325,15 @@ def program_flops(jitted, *args):
 
 
 def _amortized_ms(fn, *args, perturb=1, iters=8):
-    """ms per application of ``fn`` — probe_stages protocol: ``iters``
-    iterations INSIDE one jit (fori_loop + scalar accumulator forced out
-    with float()), min of 2 outer runs. The axon relay does not reliably
-    block in block_until_ready for large outputs (CLAUDE.md), so
-    loop-around-dispatch timings are untrustworthy; this is not."""
-    import jax
-    import jax.numpy as jnp
+    """ms per application of ``fn`` — delegates to the machine's ONE
+    trustworthy timing protocol (benchmarks/probe_stages.measure: in-jit
+    fori_loop + scalar accumulator forced with float(); the axon relay
+    does not reliably block in block_until_ready for large outputs,
+    CLAUDE.md)."""
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from benchmarks.probe_stages import measure
 
-    def looped(*a):
-        def body(i, acc):
-            aa = list(a)
-            aa[perturb] = aa[perturb] + i * jnp.asarray(
-                1e-6, aa[perturb].dtype)
-            out = fn(*aa)
-            return acc + sum(
-                jnp.abs(x).sum().astype(jnp.float32)
-                for x in jax.tree_util.tree_leaves(out))
-        return jax.lax.fori_loop(0, iters, body, jnp.float32(0))
-
-    jf = jax.jit(looped)
-    _ = float(jf(*args))  # compile
-    ts = []
-    for r in range(2):
-        a = list(args)
-        a[perturb] = a[perturb] + r
-        t0 = time.perf_counter()
-        _ = float(jf(*a))
-        ts.append(time.perf_counter() - t0)
-    return 1e3 * min(ts) / iters
+    return measure(fn, *args, perturb=perturb, iters=iters)
 
 
 def run_matrix():
@@ -453,10 +433,13 @@ def run_matrix():
         pose_eval_bench("b1_res50_384x288_flip_decode",
                         "coco_res50_384x288", batch=bo or 64)
     if want("b2"):
+        # the per-image OKS-NMS reshape needs batch % persons == 0; round
+        # the batch UP to a persons multiple (review finding)
+        ppi = min(PERSONS, bo or 64)
         pose_eval_bench("b2_res152_384x288_batch_oksnms",
-                        "coco_res152_384x288", batch=bo or 64,
-                        with_nms=True, persons_per_img=min(PERSONS,
-                                                          bo or 64))
+                        "coco_res152_384x288",
+                        batch=-(-(bo or 64) // ppi) * ppi,
+                        with_nms=True, persons_per_img=ppi)
 
     # [B] config 3: FlowNetS on frame pairs
     if want("b3"):
@@ -809,7 +792,11 @@ def main():
     else:
         fps = run_tpu_bench()
     oracle = None
-    protocol = f"min-of-{ORACLE_REPS}x{ORACLE_FRAMES}f"
+    # the cache key must pin the FULL measurement geometry — a cached
+    # 8-person denominator must not vouch for a 16-person run (review
+    # finding)
+    protocol = (f"min-of-{ORACLE_REPS}x{ORACLE_FRAMES}f"
+                f"-{PERSONS}p-{H}x{W}")
     cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                          ".bench_oracle_fps.json")
     if os.environ.get("BENCH_SKIP_ORACLE") != "1":

@@ -45,17 +45,24 @@ DT = jnp.bfloat16
 SECTIONS = os.environ.get("PROBE_SECTIONS", "xla,matmul,fused,s2d").split(",")
 
 
-def measure(apply_fn, *args, perturb=0):
-    """ms per application, amortized over N in-jit iterations; the +i
-    perturbation of args[perturb] defeats loop-invariant hoisting."""
+def measure(apply_fn, *args, perturb=0, iters=None):
+    """ms per application, amortized over ``iters`` (default PROBE_ITERS)
+    in-jit iterations; the +i perturbation of args[perturb] defeats
+    loop-invariant hoisting. Accumulates over ALL output leaves, so
+    tuple/dict-returning fns work. THE one trustworthy timing protocol on
+    this machine (module docstring) — bench.py delegates here too."""
+    n_it = iters or N
 
     def looped(*a):
         def body(i, acc):
             aa = list(a)
             aa[perturb] = aa[perturb] + i * jnp.asarray(
                 1e-6, aa[perturb].dtype)
-            return acc + jnp.abs(apply_fn(*aa)).sum().astype(jnp.float32)
-        return jax.lax.fori_loop(0, N, body, jnp.float32(0))
+            out = apply_fn(*aa)
+            return acc + sum(
+                jnp.abs(x).sum().astype(jnp.float32)
+                for x in jax.tree_util.tree_leaves(out))
+        return jax.lax.fori_loop(0, n_it, body, jnp.float32(0))
 
     f = jax.jit(looped)
     _ = float(f(*args))
@@ -66,7 +73,7 @@ def measure(apply_fn, *args, perturb=0):
         t0 = time.perf_counter()
         _ = float(f(*a))
         ts.append(time.perf_counter() - t0)
-    return 1e3 * min(ts) / N
+    return 1e3 * min(ts) / n_it
 
 
 class Stem(nn.Module):

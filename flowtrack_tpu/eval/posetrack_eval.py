@@ -273,26 +273,28 @@ def evaluate_posetrack_mot(gt_sequences: Sequence[Sequence[List[dict]]],
             matches = match_frame(gts, preds)
             pose_match = {gi: (pi, hits) for gi, pi, hits in matches}
             matched_pred = {pi for _, pi, _ in matches}
+            # parse once per frame, not per joint (review finding)
+            labeled_all = [np.asarray(g["keypoints"])[:, 2] > 0
+                           for g in gts]
+            conf_all = [_joint_conf(p) for p in preds]
 
             # AP accumulation — same entries in the same insertion order as
             # the direct backend (the VOCap mergesort keeps insertion order
             # on score ties, so order is part of bitwise equality)
             for gi, pi, hits in matches:
-                labeled = np.asarray(gts[gi]["keypoints"])[:, 2] > 0
-                pconf = _joint_conf(preds[pi])
+                labeled, pconf = labeled_all[gi], conf_all[pi]
                 for k in range(num_joints):
                     if labeled[k] and hits[k]:
                         joint_scores[k].append(pconf[k])
                         joint_tp[k].append(True)
             for pi, p in enumerate(preds):
                 if pi not in matched_pred:
-                    pconf = _joint_conf(p)
+                    pconf = conf_all[pi]
                     for k in range(num_joints):
                         joint_scores[k].append(pconf[k])
                         joint_tp[k].append(False)
             for gi, pi, hits in matches:
-                labeled = np.asarray(gts[gi]["keypoints"])[:, 2] > 0
-                pconf = _joint_conf(preds[pi])
+                labeled, pconf = labeled_all[gi], conf_all[pi]
                 for k in range(num_joints):
                     if labeled[k] and not hits[k]:
                         joint_scores[k].append(pconf[k])
@@ -301,8 +303,7 @@ def evaluate_posetrack_mot(gt_sequences: Sequence[Sequence[List[dict]]],
             for k in range(num_joints):
                 objects = []      # (gt_track_id, matched hyp id or None)
                 for gi, g in enumerate(gts):
-                    labeled = np.asarray(g["keypoints"])[:, 2] > 0
-                    if not labeled[k]:
+                    if not labeled_all[gi][k]:
                         continue
                     joint_gt_count[k] += 1
                     hyp = None
@@ -326,9 +327,8 @@ def evaluate_posetrack_mot(gt_sequences: Sequence[Sequence[List[dict]]],
                 # attribution of the divergence term: matched poses whose
                 # GT joint k is unlabeled contribute a hypothesis with no
                 # object
-                for gi, (pi, hits) in pose_match.items():
-                    labeled = np.asarray(gts[gi]["keypoints"])[:, 2] > 0
-                    if not labeled[k]:
+                for gi in pose_match:
+                    if not labeled_all[gi][k]:
                         fp_unlabeled[k] += 1
 
     per_joint_ap = np.array([

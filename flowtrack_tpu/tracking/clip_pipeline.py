@@ -481,12 +481,20 @@ class ClipTracker:
 
     def track_clip(self, frames: np.ndarray, det_boxes: np.ndarray,
                    det_scores: np.ndarray, det_valid: np.ndarray,
-                   frame_sharding=None, seed=None):
+                   frame_sharding=None, seed=None, frame_offset: int = 0,
+                   return_seed: bool = False):
         """frames: (F, H, W, 3); det_boxes: (F, P, 4) xywh (padded);
         det_scores/det_valid: (F, P). Returns dict of numpy arrays over
         T = P + track.max_recovered candidate slots (the trailing slots are
         flow-recovered detector misses): joints (F, T, K, 2), maxvals
         (F, T, K), scores (F, T), ids (F, T) (-1 = invalid), valid (F, T).
+
+        Clip chaining: pass ``return_seed=True`` to get ``(dict, seed)``
+        where ``seed`` is the device-resident final track state to feed the
+        NEXT (1-frame-overlapping) clip's ``seed=``, and ``frame_offset`` =
+        this clip's first GLOBAL frame index so keyframe-detection cadence
+        follows the video, not the clip (utils/video.track_video_clips does
+        both automatically).
 
         ``frame_sharding`` (a NamedSharding over the FRAME axis, e.g.
         ``parallel.batch_sharding(mesh)``) splits ONE clip across the mesh
@@ -509,14 +517,17 @@ class ClipTracker:
                 np.asarray(det_valid, bool), ndev)
             frame_valid, _ = pad_to_multiple(frame_valid, ndev)
         args = self.prepare(frames, det_boxes, det_scores, det_valid,
-                            frame_valid)
+                            frame_valid, frame_offset=frame_offset)
         if frame_sharding is not None:
             args = tuple(jax.device_put(a, frame_sharding) for a in args)
         padded = frames.shape[0] != f
-        out = self.to_host(self.run_prepared(
-            args, budget_frames=f if padded else None, seed=seed))
+        device_out = self.run_prepared(
+            args, budget_frames=f if padded else None, seed=seed)
+        out = self.to_host(device_out)
         if frame_sharding is not None:
             out = {k: v[:f] for k, v in out.items()}
+        if return_seed:
+            return out, device_out[5]
         return out
 
 

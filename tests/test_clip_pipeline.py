@@ -632,3 +632,35 @@ def test_prepare_keyframe_phase_follows_global_frame_index():
         np.asarray(args0[4])[:, 0], [True, False, True, False])
     np.testing.assert_array_equal(
         np.asarray(args3[4])[:, 0], [False, True, False, True])
+
+
+def test_track_clip_public_chaining_api():
+    """track_clip(return_seed=True) -> (dict, seed) chains clips through
+    the PUBLIC per-clip API (review fix): same boundary-occlusion scenario
+    as utils/video, ids stay global without touching prepare/run_prepared."""
+    tracker = default_tracker()
+    cfg = make_cfg()
+    p = cfg.track.max_persons
+
+    def clip_inputs(t0, f, occluded_at=None):
+        boxes, scores = [], []
+        for tt in range(f):
+            t = t0 + tt
+            ax, ay = 40 + VEL[0] * t, 50 + VEL[1] * t
+            bs, sc = [], []
+            if t != occluded_at:
+                bs, sc = [[ax - 15, ay - 15, 30, 30]], [0.9]
+            boxes.append(bs)
+            scores.append(sc)
+        frames = np.zeros((f, 128, 160, 3), np.float32)
+        return (frames, *pad_detections(boxes, scores, p))
+
+    out1, seed = tracker.track_clip(*clip_inputs(0, 4),
+                                    return_seed=True)
+    # clip 2 overlaps at global frame 3, where the person is OCCLUDED
+    out2 = tracker.track_clip(*clip_inputs(3, 4, occluded_at=3),
+                              seed=seed, frame_offset=3)
+    id1 = out1["ids"][0][out1["valid"][0]][0]
+    for t in range(4):
+        live = out2["ids"][t][out2["valid"][t]].tolist()
+        assert live == [id1], (t, out2["ids"], out2["valid"])

@@ -71,8 +71,12 @@ def main():
     log.info("mesh: %s, global batch %d", mesh, global_batch)
 
     model = get_flow_net(cfg.flow)
+    # lr milestones (cfg.train.lr_steps) are EPOCH-denominated; the
+    # schedule needs the real steps/epoch or it would decay after N
+    # optimizer steps instead of N epochs (review finding)
+    steps_per_epoch = max(1, -(-len(ds) // global_batch))
     state = create_train_state(model, cfg, jax.random.PRNGKey(0),
-                               jnp.zeros((1, ch, cw, 6)))
+                               jnp.zeros((1, ch, cw, 6)), steps_per_epoch)
     state = jax.device_put(state, replicated(mesh))
     div_flow = cfg.flow.div_flow
     rgb_max = cfg.flow.rgb_max
