@@ -441,10 +441,13 @@ def run_matrix():
                         batch=-(-(bo or 64) // ppi) * ppi,
                         with_nms=True, persons_per_img=ppi)
 
-    # [B] config 3: FlowNetS on frame pairs
+    # [B] config 3: FlowNetS on frame pairs. Batch 256 (4 production
+    # clips): the 8x6/4x3-spatial deep layers are BATCH-bound — measured
+    # sweep 32/64/128/256 pairs -> 41.5/59.8/79.8/96.3 TFLOP/s
+    # (benchmarks/probe_flownet.py sweep; STATUS.md round-3 notes)
     if want("b3"):
         flow_net = FlowNetS(dtype=jnp.bfloat16)
-        n_pairs = bo or 64
+        n_pairs = bo or 256
         pairs = preprocess_pair(
             jnp.asarray(rng.uniform(0, 255, (n_pairs, H, W, 3)),
                         jnp.float32),
