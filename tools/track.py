@@ -21,7 +21,8 @@ from flowtrack_tpu.config import apply_overrides, get_config
 from flowtrack_tpu.data import PoseTrackDataset
 from flowtrack_tpu.data.pose_dataset import load_image
 from flowtrack_tpu.engine.checkpoint import load_npz_variables
-from flowtrack_tpu.eval.posetrack_eval import evaluate_posetrack
+from flowtrack_tpu.eval.posetrack_eval import (evaluate_posetrack,
+                                               evaluate_posetrack_mot)
 from flowtrack_tpu.pipeline import FlowPredictor, PosePredictor
 from flowtrack_tpu.tracking import FlowTracker
 from flowtrack_tpu.tracking.tracker import tracks_to_posetrack_json
@@ -99,6 +100,11 @@ def main():
                     help="detection json (default: GT boxes)")
     ap.add_argument("--out", default="output/track")
     ap.add_argument("--max-frames", type=int, default=None)
+    ap.add_argument("--eval-backend", choices=("direct", "mot"),
+                    default="direct",
+                    help="MOTA formulation: direct per-frame accounting or"
+                         " the motmetrics-accumulator event streams "
+                         "(differentially tested; see posetrack_eval)")
     ap.add_argument("opts", nargs="*")
     args = ap.parse_args()
     setup_logging()
@@ -129,7 +135,9 @@ def main():
     os.makedirs(args.out, exist_ok=True)
     with open(os.path.join(args.out, "tracks.json"), "w") as f:
         json.dump({"annotations": ann_json}, f)
-    stats = evaluate_posetrack(gts, preds)
+    eval_fn = (evaluate_posetrack_mot if args.eval_backend == "mot"
+               else evaluate_posetrack)
+    stats = eval_fn(gts, preds)
     log.info("PoseTrack: mAP %.4f MOTA %.4f (switches %d, misses %d, "
              "fps %d)", stats["mAP"], stats["MOTA"], stats["num_switches"],
              stats["num_misses"], stats["num_fps"])
