@@ -56,10 +56,30 @@ def gt_detections(dataset, image_id):
             np.asarray(scores, np.float32))
 
 
+def frame_detections(dataset, image_id, detections):
+    if detections is not None:
+        return detections.get(image_id, (np.zeros((0, 4), np.float32),
+                                         np.zeros((0,), np.float32)))
+    return gt_detections(dataset, image_id)
+
+
+def collect_sequence(per_frame, frame_ids, dataset):
+    """Tracker output -> (pred_seq for the evaluator, gt_seq)."""
+    pred_seq, gt_seq = [], []
+    for image_id, tracks in zip(frame_ids, per_frame):
+        pred_seq.append([
+            {"track_id": t.track_id,
+             "keypoints": np.concatenate(
+                 [t.joints, t.maxvals[:, None]], axis=1),
+             "score": t.score} for t in tracks])
+        gt_seq.append(dataset.frame_annotations(image_id))
+    return pred_seq, gt_seq
+
+
 def track_all(cfg, dataset, pose_pred, flow_pred, detections=None,
               max_frames=None):
-    """Run the tracker over every sequence; returns (pred_sequences,
-    gt_sequences, all PoseTrack-format annotations)."""
+    """Run the streaming tracker over every sequence; returns
+    (pred_sequences, gt_sequences, all PoseTrack-format annotations)."""
     pred_sequences, gt_sequences, all_json = [], [], []
     for vid, frame_ids in sorted(dataset.sequences().items()):
         if max_frames:
@@ -68,26 +88,53 @@ def track_all(cfg, dataset, pose_pred, flow_pred, detections=None,
         per_frame = []
         for image_id in frame_ids:
             img = load_image(dataset.frame_path(image_id))
-            if detections is not None:
-                boxes, scores = detections.get(
-                    image_id, (np.zeros((0, 4), np.float32),
-                               np.zeros((0,), np.float32)))
-            else:
-                boxes, scores = gt_detections(dataset, image_id)
+            boxes, scores = frame_detections(dataset, image_id, detections)
             per_frame.append(list(tracker.step(img, boxes, scores)))
         all_json += tracks_to_posetrack_json(per_frame, frame_ids)
 
-        pred_seq, gt_seq = [], []
-        for image_id, tracks in zip(frame_ids, per_frame):
-            pred_seq.append([
-                {"track_id": t.track_id,
-                 "keypoints": np.concatenate(
-                     [t.joints, t.maxvals[:, None]], axis=1),
-                 "score": t.score} for t in tracks])
-            gt_seq.append(dataset.frame_annotations(image_id))
+        pred_seq, gt_seq = collect_sequence(per_frame, frame_ids, dataset)
         pred_sequences.append(pred_seq)
         gt_sequences.append(gt_seq)
         log.info("sequence %s: %d frames tracked", vid, len(frame_ids))
+    return pred_sequences, gt_sequences, all_json
+
+
+def track_all_clips(cfg, dataset, clip_tracker, detections=None,
+                    max_frames=None, clip_len=16):
+    """Clip-engine twin of track_all: each sequence runs through the
+    jit-batched ClipTracker (utils/video.track_video_clips — device-side
+    id scans with cross-clip seed carry) instead of the per-frame
+    streaming loop. Same outputs, so the evaluator and json writer are
+    shared with the streaming engine."""
+    from types import SimpleNamespace
+
+    from flowtrack_tpu.utils.video import track_video_clips
+
+    pred_sequences, gt_sequences, all_json = [], [], []
+    for vid, frame_ids in sorted(dataset.sequences().items()):
+        if max_frames:
+            frame_ids = frame_ids[:max_frames]
+        frames = np.stack([load_image(dataset.frame_path(i))
+                           for i in frame_ids])
+        det_boxes, det_scores = [], []
+        for image_id in frame_ids:
+            boxes, scores = frame_detections(dataset, image_id, detections)
+            det_boxes.append([np.asarray(b, np.float32) for b in boxes])
+            det_scores.append([float(s) for s in scores])
+        results = track_video_clips(clip_tracker, frames, det_boxes,
+                                    det_scores, clip_len=clip_len)
+        per_frame = [[SimpleNamespace(track_id=p["track_id"],
+                                      joints=np.asarray(p["joints"]),
+                                      maxvals=np.asarray(p["maxvals"]),
+                                      score=p["score"]) for p in fr]
+                     for fr in results]
+        all_json += tracks_to_posetrack_json(per_frame, frame_ids)
+
+        pred_seq, gt_seq = collect_sequence(per_frame, frame_ids, dataset)
+        pred_sequences.append(pred_seq)
+        gt_sequences.append(gt_seq)
+        log.info("sequence %s: %d frames tracked (clip engine)", vid,
+                 len(frame_ids))
     return pred_sequences, gt_sequences, all_json
 
 
@@ -100,6 +147,14 @@ def main():
                     help="detection json (default: GT boxes)")
     ap.add_argument("--out", default="output/track")
     ap.add_argument("--max-frames", type=int, default=None)
+    ap.add_argument("--engine", choices=("stream", "clip"),
+                    default="stream",
+                    help="stream: reference-style per-frame loop; clip: "
+                         "jit-batched ClipTracker over overlapping clips "
+                         "with cross-clip id carry (the TPU fast path; "
+                         "requires --flow-weights)")
+    ap.add_argument("--clip-len", type=int, default=16,
+                    help="frames per clip for --engine clip")
     ap.add_argument("--eval-backend", choices=("direct", "mot"),
                     default="direct",
                     help="MOTA formulation: direct per-frame accounting or"
@@ -121,16 +176,30 @@ def main():
 
     pose_vars = jax.tree.map(jnp.asarray,
                              load_npz_variables(args.pose_weights))
-    pose_pred = PosePredictor(cfg, pose_vars)
-    flow_pred = None
+    flow_vars = None
     if args.flow_weights:
         flow_vars = jax.tree.map(jnp.asarray,
                                  load_npz_variables(args.flow_weights))
-        flow_pred = FlowPredictor(cfg, flow_vars)
 
     detections = load_detections(args.detections) if args.detections else None
-    preds, gts, ann_json = track_all(cfg, dataset, pose_pred, flow_pred,
-                                     detections, args.max_frames)
+    if args.engine == "clip":
+        if flow_vars is None:
+            ap.error("--engine clip requires --flow-weights")
+        from flowtrack_tpu.models.flownet import get_flow_net
+        from flowtrack_tpu.models.pose_resnet import get_pose_net
+        from flowtrack_tpu.tracking.clip_pipeline import ClipTracker
+
+        clip_tracker = ClipTracker(cfg, get_pose_net(cfg.model), pose_vars,
+                                   get_flow_net(cfg.flow), flow_vars)
+        preds, gts, ann_json = track_all_clips(
+            cfg, dataset, clip_tracker, detections, args.max_frames,
+            clip_len=args.clip_len)
+    else:
+        pose_pred = PosePredictor(cfg, pose_vars)
+        flow_pred = (FlowPredictor(cfg, flow_vars)
+                     if flow_vars is not None else None)
+        preds, gts, ann_json = track_all(cfg, dataset, pose_pred, flow_pred,
+                                         detections, args.max_frames)
 
     os.makedirs(args.out, exist_ok=True)
     with open(os.path.join(args.out, "tracks.json"), "w") as f:
