@@ -151,22 +151,27 @@ def convert_resnet_backbone(sd: Dict[str, np.ndarray]):
     return {"params": params, "batch_stats": stats}
 
 
+def overlay_variables(dst: dict, src: dict) -> dict:
+    """Recursively overwrite leaves of ``dst`` that appear in the (possibly
+    partial) tree ``src``; everything else keeps dst's values. Used to
+    overlay converted backbone weights onto a fresh init (and by
+    tools/train.py --imagenet-backbone with a pre-converted .npz)."""
+    out = dict(dst)
+    for k, v in src.items():
+        out[k] = overlay_variables(dst[k], v) if isinstance(v, dict) else v
+    return out
+
+
 def init_backbone_from_imagenet(variables: dict, sd: Dict[str, np.ndarray]):
     """Overlay ImageNet backbone weights onto freshly-initialized PoseResNet
     variables (head stays at its random init, as the reference does)."""
     conv = convert_resnet_backbone(sd)
-
-    def merge(dst, src):
-        out = dict(dst)
-        for k, v in src.items():
-            out[k] = merge(dst[k], v) if isinstance(v, dict) else v
-        return out
-
     out = dict(variables)
-    out["params"] = merge(variables["params"],
-                          {"backbone": conv["params"]["backbone"]})
-    out["batch_stats"] = merge(variables.get("batch_stats", {}),
-                               {"backbone": conv["batch_stats"]["backbone"]})
+    out["params"] = overlay_variables(
+        variables["params"], {"backbone": conv["params"]["backbone"]})
+    out["batch_stats"] = overlay_variables(
+        variables.get("batch_stats", {}),
+        {"backbone": conv["batch_stats"]["backbone"]})
     return out
 
 

@@ -17,7 +17,8 @@ import jax
 import jax.numpy as jnp
 
 from flowtrack_tpu.config import get_config, apply_overrides
-from flowtrack_tpu.data import BatchLoader, COCODataset, MPIIDataset
+from flowtrack_tpu.data import (BatchLoader, COCODataset, MPIIDataset,
+                                PoseTrackDataset)
 from flowtrack_tpu.engine.checkpoint import CheckpointManager
 from flowtrack_tpu.engine.metrics import AverageMeter
 from flowtrack_tpu.engine.train import (
@@ -41,7 +42,47 @@ def make_dataset(cfg, is_train):
         return MPIIDataset(cfg, cfg.data.root,
                            "train" if is_train else "valid",
                            is_train=is_train)
+    if cfg.data.dataset == "posetrack":
+        # the reference's FlowTrack recipe: fine-tune the COCO-trained pose
+        # model on PoseTrack frames (warm start via --init-weights)
+        return PoseTrackDataset(cfg, cfg.data.root,
+                                cfg.data.train_set if is_train else
+                                cfg.data.test_set, is_train=is_train)
     raise KeyError(cfg.data.dataset)
+
+
+def initial_variables(args, model, cfg, sample):
+    """Optional warm start: --init-weights (full pose variables .npz — the
+    COCO->PoseTrack fine-tune path) or --imagenet-backbone (torchvision
+    ResNet .pth, or its converted .npz from
+    ``tools/export_weights.py --kind backbone_imagenet``) overlaying
+    backbone weights on a fresh init while the head stays random, as the
+    reference does (SURVEY.md section 6.4 pretrained zoo)."""
+    from flowtrack_tpu.engine.checkpoint import load_npz_variables
+
+    if args.init_weights:
+        return jax.tree.map(jnp.asarray,
+                            load_npz_variables(args.init_weights))
+    if not args.imagenet_backbone:
+        return None
+    from flowtrack_tpu.utils import torch_convert as tc
+
+    fresh = jax.jit(model.init, static_argnames="train")(
+        jax.random.PRNGKey(cfg.train.seed), sample, train=False)
+    if args.imagenet_backbone.endswith(".npz"):
+        conv = load_npz_variables(args.imagenet_backbone)
+        out = dict(fresh)
+        for col in ("params", "batch_stats"):
+            out[col] = tc.overlay_variables(
+                fresh.get(col, {}), {"backbone": conv[col]["backbone"]})
+        return jax.tree.map(jnp.asarray, out)
+    import torch
+
+    sd = tc.state_dict_to_numpy(
+        torch.load(args.imagenet_backbone, map_location="cpu",
+                   weights_only=True))
+    return jax.tree.map(jnp.asarray,
+                        tc.init_backbone_from_imagenet(fresh, sd))
 
 
 def main():
@@ -49,6 +90,12 @@ def main():
     ap.add_argument("--cfg", default="coco_res50_256x192")
     ap.add_argument("--resume", action="store_true")
     ap.add_argument("--out", default=None, help="checkpoint dir override")
+    ap.add_argument("--init-weights", default=None,
+                    help="warm-start full pose variables (.npz) — the "
+                         "COCO->PoseTrack fine-tune path")
+    ap.add_argument("--imagenet-backbone", default=None,
+                    help="torchvision ResNet .pth (or converted .npz): "
+                         "ImageNet backbone init, head stays random")
     ap.add_argument("opts", nargs="*", help="dotted overrides k=v")
     args = ap.parse_args()
     setup_logging()
@@ -70,7 +117,9 @@ def main():
     model = get_pose_net(cfg.model)
     sample = jnp.zeros((1, *cfg.model.image_size, 3), jnp.float32)
     state = create_train_state(model, cfg, jax.random.PRNGKey(cfg.train.seed),
-                               sample, steps_per_epoch)
+                               sample, steps_per_epoch,
+                               variables=initial_variables(args, model, cfg,
+                                                           sample))
     state = jax.device_put(state, repl)
 
     mgr = CheckpointManager(ckpt_dir)
@@ -82,6 +131,11 @@ def main():
         log.info("resumed from epoch %d", epoch)
 
     step_fn = make_jit_train_step(cfg.train.use_target_weight)
+
+    # posetrack validation needs its own dataset class (sequence-indexed
+    # annotations); run_validation's default would build a COCODataset
+    val_ds = (make_dataset(cfg, is_train=False)
+              if cfg.data.dataset == "posetrack" else None)
 
     for epoch in range(start_epoch, cfg.train.end_epoch):
         losses, accs, btime = AverageMeter(), AverageMeter(), AverageMeter()
@@ -109,7 +163,7 @@ def main():
             stats = run_validation(cfg, model,
                                    {"params": state.params,
                                     "batch_stats": state.batch_stats},
-                                   mesh=mesh)
+                                   mesh=mesh, dataset=val_ds)
             perf = stats.get("AP", stats.get("Mean", 0.0))
         except Exception as e:  # validation data may be absent
             log.warning("validation skipped: %s", e)
