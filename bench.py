@@ -414,7 +414,8 @@ def run_matrix():
     def want(label):
         return not only or any(label.startswith(o) for o in only)
 
-    def emit(config_label, item, per_sec, ms_per_item, flops_per_item):
+    def emit(config_label, item, per_sec, ms_per_item, flops_per_item,
+             batch=None):
         line = {
             "config": config_label,
             "metric": f"{item}_per_sec_per_chip",
@@ -423,6 +424,8 @@ def run_matrix():
             "ms_per_item": round(ms_per_item, 3),
             "platform": platform,
         }
+        if batch is not None:
+            line["batch"] = batch
         if flops_per_item > 0:
             line["gflops_per_item"] = round(flops_per_item / 1e9, 1)
             line["tflops_per_sec"] = round(
@@ -468,23 +471,28 @@ def run_matrix():
         args = (pose_vars, crops, centers, scales, scores)
         ms = _amortized_ms(fn, *args, perturb=1, iters=iters)
         flops = program_flops(jax.jit(fn), *args)
-        emit(label, "poses", batch / (ms / 1e3), ms / batch, flops / batch)
+        emit(label, "poses", batch / (ms / 1e3), ms / batch, flops / batch,
+             batch=batch)
 
-    # [B] configs 0-2: pose eval programs (batch override for CI smokes)
+    # [B] configs 0-2: pose eval programs (batch override for CI smokes).
+    # Default batch 256: like FlowNetS (b3), the pose nets are BATCH-bound
+    # at their small-spatial deep layers — measured b0 128/256/512 ->
+    # 39.3/48.4/46.8% MFU, b2 64/256/512 -> 58.7/63.3/55.1% (v5e-1,
+    # 2026-08-17); 256 is the sweet spot for all three.
     bo = int(os.environ.get("BENCH_MATRIX_BATCH", "0"))
     if want("b0"):
         pose_eval_bench("b0_res50_256x192_flip_decode",
-                        "coco_res50_256x192", batch=bo or 128)
+                        "coco_res50_256x192", batch=bo or 256)
     if want("b1"):
         pose_eval_bench("b1_res50_384x288_flip_decode",
-                        "coco_res50_384x288", batch=bo or 64)
+                        "coco_res50_384x288", batch=bo or 256)
     if want("b2"):
         # the per-image OKS-NMS reshape needs batch % persons == 0; round
         # the batch UP to a persons multiple (review finding)
-        ppi = min(PERSONS, bo or 64)
+        ppi = min(PERSONS, bo or 256)
         pose_eval_bench("b2_res152_384x288_batch_oksnms",
                         "coco_res152_384x288",
-                        batch=-(-(bo or 64) // ppi) * ppi,
+                        batch=-(-(bo or 256) // ppi) * ppi,
                         with_nms=True, persons_per_img=ppi)
 
     # [B] config 3: FlowNetS on frame pairs. Batch 256 (4 production
@@ -509,7 +517,7 @@ def run_matrix():
                            iters=iters)
         flops = program_flops(jax.jit(flow_fn), flow_vars, pairs)
         emit("b3_flownet_s_pairs", "pairs", n_pairs / (ms / 1e3),
-             ms / n_pairs, flops / n_pairs)
+             ms / n_pairs, flops / n_pairs, batch=n_pairs)
 
     # [B] config 4: full FlowTrack — ResNet-152 pose + FlowNet2 cascade +
     # tracking via the whole-clip pipeline (flowtrack_posetrack preset)
