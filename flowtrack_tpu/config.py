@@ -241,7 +241,10 @@ PRESETS = {
     "flownet_c": Config(name="flownet_c", flow=FlowConfig(variant="flownet_c")),
     "flowtrack_posetrack": dataclasses.replace(
         _res(152, (256, 192), (64, 48), 2.0, "flowtrack_posetrack"),
-        data=DataConfig(dataset="posetrack", root="data/posetrack"),
+        # PoseTrack set names are "train"/"val" (annotations/<set>.json),
+        # not the COCO "train2017"/"val2017" defaults
+        data=DataConfig(dataset="posetrack", root="data/posetrack",
+                        train_set="train", test_set="val"),
     ),
 }
 

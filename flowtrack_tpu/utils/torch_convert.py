@@ -162,10 +162,10 @@ def overlay_variables(dst: dict, src: dict) -> dict:
     return out
 
 
-def init_backbone_from_imagenet(variables: dict, sd: Dict[str, np.ndarray]):
-    """Overlay ImageNet backbone weights onto freshly-initialized PoseResNet
-    variables (head stays at its random init, as the reference does)."""
-    conv = convert_resnet_backbone(sd)
+def overlay_backbone(variables: dict, conv: dict) -> dict:
+    """Overlay an already-converted backbone tree (``conv`` =
+    convert_resnet_backbone output, or its .npz round trip) onto full
+    PoseResNet variables; the head keeps its existing init."""
     out = dict(variables)
     out["params"] = overlay_variables(
         variables["params"], {"backbone": conv["params"]["backbone"]})
@@ -173,6 +173,12 @@ def init_backbone_from_imagenet(variables: dict, sd: Dict[str, np.ndarray]):
         variables.get("batch_stats", {}),
         {"backbone": conv["batch_stats"]["backbone"]})
     return out
+
+
+def init_backbone_from_imagenet(variables: dict, sd: Dict[str, np.ndarray]):
+    """Overlay ImageNet backbone weights onto freshly-initialized PoseResNet
+    variables (head stays at its random init, as the reference does)."""
+    return overlay_backbone(variables, convert_resnet_backbone(sd))
 
 
 # ---------------------------------------------------------------------------

@@ -49,9 +49,40 @@ def iter_video_frames(path: str) -> Iterator[np.ndarray]:
         cap.release()
 
 
+class LazyFrameSequence:
+    """Sequence-of-frames view that loads images on demand instead of
+    materializing the whole video in host RAM. track_video_clips only
+    ever needs the current clip window (plus its one-clip lookahead), so
+    long/high-res sequences track in O(clip_len) host memory. Supports
+    the two accesses track_video_clips performs: ``len()`` and
+    fancy-indexing with a list of frame indices (returns a stacked
+    (n, H, W, 3) array)."""
+
+    def __init__(self, paths, loader=None):
+        if loader is None:
+            from flowtrack_tpu.data.pose_dataset import load_image
+
+            loader = load_image
+        self._paths = list(paths)
+        self._loader = loader
+
+    def __len__(self):
+        return len(self._paths)
+
+    def __getitem__(self, idx):
+        if isinstance(idx, (int, np.integer)):
+            return self._loader(self._paths[idx])
+        return np.stack([self._loader(self._paths[i]) for i in idx])
+
+
 def clip_spans(n_frames: int, clip_len: int) -> List[range]:
     """Overlapping spans: [0..L), [L-1..2L-1), ... (1-frame overlap so the
     flow chain and id stitching cross every boundary)."""
+    if n_frames > clip_len and clip_len < 2:
+        # with a 1-frame overlap, clip_len == 1 never advances (the next
+        # start equals the previous) — an infinite loop, not a clip plan
+        raise ValueError(f"clip_len must be >= 2 for multi-frame "
+                         f"sequences, got {clip_len}")
     if n_frames <= clip_len:
         return [range(0, n_frames)]
     spans = []

@@ -68,6 +68,44 @@ class TestVideoUtils:
         spans2 = clip_spans(11, 4)
         assert [list(s)[-1] for s in spans2][-1] == 10
 
+    def test_clip_spans_rejects_degenerate_clip_len(self):
+        # clip_len 1 with the 1-frame overlap never advances (would loop
+        # forever pre-guard — review finding); single-frame inputs are
+        # still fine
+        import pytest
+
+        with pytest.raises(ValueError):
+            clip_spans(3, 1)
+        with pytest.raises(ValueError):
+            clip_spans(2, 0)
+        assert [list(s) for s in clip_spans(1, 1)] == [[0]]
+
+    def test_lazy_frame_sequence(self, tmp_path, rng):
+        """LazyFrameSequence loads only the indexed window (O(clip_len)
+        host memory for the clip-engine CLI), matching eager loads."""
+        from tests.fixtures import save_image
+        from flowtrack_tpu.utils.video import LazyFrameSequence
+
+        paths = []
+        for i in range(4):
+            p = str(tmp_path / f"{i:03d}.png")
+            save_image(p, rng.integers(0, 255, (8, 8, 3)).astype(np.uint8))
+            paths.append(p)
+        calls = []
+
+        def loader(p):
+            calls.append(p)
+            from flowtrack_tpu.data.pose_dataset import load_image
+
+            return load_image(p)
+
+        seq = LazyFrameSequence(paths, loader=loader)
+        assert len(seq) == 4
+        win = seq[[1, 2]]
+        assert win.shape == (2, 8, 8, 3)
+        assert calls == [paths[1], paths[2]]  # nothing else was loaded
+        np.testing.assert_array_equal(seq[1], win[0])
+
     def test_stitch_ids(self, rng):
         poses = rng.uniform(0, 100, (3, 17, 2))
         prev_ids = [5, 9, 11]

@@ -43,8 +43,7 @@ def test_train_main_posetrack_finetune(tmp_path, monkeypatch):
 
     from tests.fixtures import make_posetrack_fixture
     from flowtrack_tpu.config import ModelConfig
-    from flowtrack_tpu.engine.checkpoint import (load_npz_variables,
-                                                 save_npz_variables)
+    from flowtrack_tpu.engine.checkpoint import save_npz_variables
     from flowtrack_tpu.models.pose_resnet import get_pose_net
 
     # 1 video x 4 frames x 2 persons = 8 samples = one full global batch
@@ -62,6 +61,21 @@ def test_train_main_posetrack_finetune(tmp_path, monkeypatch):
 
     from tools import train
 
+    # spy on create_train_state to assert the warm start actually reaches
+    # the train state (a vacuous roundtrip check would pass even if
+    # --init-weights were ignored — review finding)
+    seen = {}
+    orig_cts = train.create_train_state
+
+    def spy(model, cfg, rng, sample, steps_per_epoch=1, variables=None):
+        # snapshot to numpy NOW: the donated train step deletes these
+        # buffers once training starts
+        seen["conv1"] = (None if variables is None else np.asarray(
+            variables["params"]["backbone"]["conv1"]["kernel"]))
+        return orig_cts(model, cfg, rng, sample, steps_per_epoch,
+                        variables=variables)
+
+    monkeypatch.setattr(train, "create_train_state", spy)
     monkeypatch.setattr(sys, "argv", [
         "train.py", "--cfg", "flowtrack_posetrack", "--out", out_dir,
         "--init-weights", str(tmp_path / "init.npz"),
@@ -74,11 +88,10 @@ def test_train_main_posetrack_finetune(tmp_path, monkeypatch):
     train.main()
     assert any(p.isdigit() for p in os.listdir(out_dir)), \
         os.listdir(out_dir)
-    # warm start actually applied: saved epoch-0 params differ from init
-    # only by one Adam step (same tree structure, finite, not re-random) —
-    # cheap proxy: roundtrip the npz and check tree keys match
-    loaded = load_npz_variables(str(tmp_path / "init.npz"))
-    assert set(loaded["params"]) == set(pv["params"])
+    assert seen["conv1"] is not None
+    np.testing.assert_array_equal(
+        seen["conv1"],
+        np.asarray(pv["params"]["backbone"]["conv1"]["kernel"]))
 
 
 def test_initial_variables_backbone_npz(tmp_path):

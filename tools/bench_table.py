@@ -18,7 +18,8 @@ LABELS = {
     "b1": "1: ResNet-50 @384×288 flip+decode",
     "b2": "2: ResNet-152 @384×288 batch + device OKS-NMS",
     "b3": "3: FlowNetS frame pairs",
-    "b4": "4: full FlowTrack (R152 + FlowNet2 cascade, clip path)",
+    "b4": "4: full FlowTrack (R152 + FlowNet2 cascade, clip path, "
+          "recovery on)",
 }
 
 
@@ -37,8 +38,8 @@ def render(lines):
         flops = f"{gflops:.1f} G" if gflops is not None else "n/a"
         mfu = rec.get("mfu_pct_of_197T_bf16")
         mfu = f"{mfu:.1f}%" if mfu is not None else "n/a"
-        rows.append(f"| {label} | {rec['value']:.0f} {unit} | "
-                    f"{flops} | {mfu} |")
+        value = f"{round(rec['value'], 1):g}"  # keep sub-integer deltas
+        rows.append(f"| {label} | {value} {unit} | {flops} | {mfu} |")
     return "\n".join(rows)
 
 

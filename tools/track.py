@@ -99,23 +99,26 @@ def track_all(cfg, dataset, pose_pred, flow_pred, detections=None,
     return pred_sequences, gt_sequences, all_json
 
 
-def track_all_clips(cfg, dataset, clip_tracker, detections=None,
+def track_all_clips(dataset, clip_tracker, detections=None,
                     max_frames=None, clip_len=16):
     """Clip-engine twin of track_all: each sequence runs through the
     jit-batched ClipTracker (utils/video.track_video_clips — device-side
     id scans with cross-clip seed carry) instead of the per-frame
     streaming loop. Same outputs, so the evaluator and json writer are
-    shared with the streaming engine."""
+    shared with the streaming engine. Frames load lazily per clip window
+    (LazyFrameSequence), so host memory stays O(clip_len) like the
+    streaming engine's O(1), not O(sequence)."""
     from types import SimpleNamespace
 
-    from flowtrack_tpu.utils.video import track_video_clips
+    from flowtrack_tpu.utils.video import (LazyFrameSequence,
+                                           track_video_clips)
 
     pred_sequences, gt_sequences, all_json = [], [], []
     for vid, frame_ids in sorted(dataset.sequences().items()):
         if max_frames:
             frame_ids = frame_ids[:max_frames]
-        frames = np.stack([load_image(dataset.frame_path(i))
-                           for i in frame_ids])
+        frames = LazyFrameSequence(
+            [dataset.frame_path(i) for i in frame_ids])
         det_boxes, det_scores = [], []
         for image_id in frame_ids:
             boxes, scores = frame_detections(dataset, image_id, detections)
@@ -154,7 +157,8 @@ def main():
                          "with cross-clip id carry (the TPU fast path; "
                          "requires --flow-weights)")
     ap.add_argument("--clip-len", type=int, default=16,
-                    help="frames per clip for --engine clip")
+                    help="frames per clip for --engine clip (>= 2: clips "
+                         "overlap by one frame)")
     ap.add_argument("--eval-backend", choices=("direct", "mot"),
                     default="direct",
                     help="MOTA formulation: direct per-frame accounting or"
@@ -185,6 +189,8 @@ def main():
     if args.engine == "clip":
         if flow_vars is None:
             ap.error("--engine clip requires --flow-weights")
+        if args.clip_len < 2:
+            ap.error("--clip-len must be >= 2 (clips overlap by 1 frame)")
         from flowtrack_tpu.models.flownet import get_flow_net
         from flowtrack_tpu.models.pose_resnet import get_pose_net
         from flowtrack_tpu.tracking.clip_pipeline import ClipTracker
@@ -192,7 +198,7 @@ def main():
         clip_tracker = ClipTracker(cfg, get_pose_net(cfg.model), pose_vars,
                                    get_flow_net(cfg.flow), flow_vars)
         preds, gts, ann_json = track_all_clips(
-            cfg, dataset, clip_tracker, detections, args.max_frames,
+            dataset, clip_tracker, detections, args.max_frames,
             clip_len=args.clip_len)
     else:
         pose_pred = PosePredictor(cfg, pose_vars)

@@ -71,11 +71,7 @@ def initial_variables(args, model, cfg, sample):
         jax.random.PRNGKey(cfg.train.seed), sample, train=False)
     if args.imagenet_backbone.endswith(".npz"):
         conv = load_npz_variables(args.imagenet_backbone)
-        out = dict(fresh)
-        for col in ("params", "batch_stats"):
-            out[col] = tc.overlay_variables(
-                fresh.get(col, {}), {"backbone": conv[col]["backbone"]})
-        return jax.tree.map(jnp.asarray, out)
+        return jax.tree.map(jnp.asarray, tc.overlay_backbone(fresh, conv))
     import torch
 
     sd = tc.state_dict_to_numpy(
@@ -133,9 +129,16 @@ def main():
     step_fn = make_jit_train_step(cfg.train.use_target_weight)
 
     # posetrack validation needs its own dataset class (sequence-indexed
-    # annotations); run_validation's default would build a COCODataset
-    val_ds = (make_dataset(cfg, is_train=False)
-              if cfg.data.dataset == "posetrack" else None)
+    # annotations); run_validation's default would build a COCODataset.
+    # Built lazily inside the per-epoch try below: absent/incomplete val
+    # data must skip validation with a warning, not abort training.
+    val_cfg, val_ds = cfg, None
+    if cfg.data.dataset == "posetrack" and not cfg.test.bbox_file:
+        # pose-mAP validation uses GT boxes unless a detection file is
+        # configured (same fallback as tools/track.py)
+        from dataclasses import replace
+
+        val_cfg = replace(cfg, test=replace(cfg.test, use_gt_bbox=True))
 
     for epoch in range(start_epoch, cfg.train.end_epoch):
         losses, accs, btime = AverageMeter(), AverageMeter(), AverageMeter()
@@ -160,7 +163,9 @@ def main():
 
         perf = 0.0
         try:
-            stats = run_validation(cfg, model,
+            if cfg.data.dataset == "posetrack" and val_ds is None:
+                val_ds = make_dataset(val_cfg, is_train=False)
+            stats = run_validation(val_cfg, model,
                                    {"params": state.params,
                                     "batch_stats": state.batch_stats},
                                    mesh=mesh, dataset=val_ds)
