@@ -39,6 +39,18 @@ def run_validation(cfg, model, variables, mesh=None, output_dir=None,
         if cfg.data.dataset == "mpii":
             dataset = MPIIDataset(cfg, cfg.data.root, "valid",
                                   is_train=False)
+        elif cfg.data.dataset == "posetrack":
+            from flowtrack_tpu.data import PoseTrackDataset
+
+            if not cfg.test.bbox_file and not cfg.test.use_gt_bbox:
+                # pose-mAP eval on PoseTrack falls back to GT boxes when
+                # no detection file is configured (same as tools/track.py)
+                from dataclasses import replace
+
+                cfg = replace(cfg,
+                              test=replace(cfg.test, use_gt_bbox=True))
+            dataset = PoseTrackDataset(cfg, cfg.data.root,
+                                       cfg.data.test_set, is_train=False)
         else:
             dataset = COCODataset(cfg, cfg.data.root, cfg.data.test_set,
                                   is_train=False,

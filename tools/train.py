@@ -128,18 +128,6 @@ def main():
 
     step_fn = make_jit_train_step(cfg.train.use_target_weight)
 
-    # posetrack validation needs its own dataset class (sequence-indexed
-    # annotations); run_validation's default would build a COCODataset.
-    # Built lazily inside the per-epoch try below: absent/incomplete val
-    # data must skip validation with a warning, not abort training.
-    val_cfg, val_ds = cfg, None
-    if cfg.data.dataset == "posetrack" and not cfg.test.bbox_file:
-        # pose-mAP validation uses GT boxes unless a detection file is
-        # configured (same fallback as tools/track.py)
-        from dataclasses import replace
-
-        val_cfg = replace(cfg, test=replace(cfg.test, use_gt_bbox=True))
-
     for epoch in range(start_epoch, cfg.train.end_epoch):
         losses, accs, btime = AverageMeter(), AverageMeter(), AverageMeter()
         t0 = time.time()
@@ -163,12 +151,13 @@ def main():
 
         perf = 0.0
         try:
-            if cfg.data.dataset == "posetrack" and val_ds is None:
-                val_ds = make_dataset(val_cfg, is_train=False)
-            stats = run_validation(val_cfg, model,
+            # run_validation builds the right dataset class per
+            # cfg.data.dataset (incl. posetrack with GT-box fallback);
+            # absent val data lands in the except below, not a crash
+            stats = run_validation(cfg, model,
                                    {"params": state.params,
                                     "batch_stats": state.batch_stats},
-                                   mesh=mesh, dataset=val_ds)
+                                   mesh=mesh)
             perf = stats.get("AP", stats.get("Mean", 0.0))
         except Exception as e:  # validation data may be absent
             log.warning("validation skipped: %s", e)
