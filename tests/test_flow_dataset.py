@@ -140,3 +140,44 @@ def test_train_flow_cli_overfits_constant_flow(tmp_path, monkeypatch):
     pred0 = flow_at_full_res(net.apply(init_vars, x, train=False))
     epe_init = float(jnp.linalg.norm(pred0[0] - fl, axis=-1).mean())
     assert epe_trained < 0.7 * epe_init, (epe_trained, epe_init)
+
+
+@pytest.mark.slow
+def test_train_flow_cli_ckpt_resume_and_val(tmp_path, monkeypatch, capsys):
+    """--ckpt-dir/--resume/--val-* (flownet2-pytorch main.py parity):
+    epoch checkpoints exist, val EPE is logged each epoch, and a resumed
+    run continues from the saved epoch instead of restarting.
+
+    Captured via capsys, not caplog: setup_logging uses basicConfig(
+    force=True), which strips pytest's root capture handler; its
+    StreamHandler binds the capsys-replaced sys.stdout instead."""
+    import os
+
+    from tools import train_flow
+
+    corpus = tmp_path / "chairs"
+    corpus.mkdir()
+    _make_triplet_corpus(corpus, n=2, hw=(64, 64), flow_val=(2.0, 1.0))
+    ckpt = tmp_path / "ckpt"
+    argv = [
+        "train_flow.py", "--cfg", "flownet_s", "--triplets", str(corpus),
+        "--val-triplets", str(corpus),
+        "--crop", "64", "64", "--batch", "1", "--epochs", "2",
+        "--ckpt-dir", str(ckpt), "--out", str(tmp_path / "fn.npz"),
+        "flow.dtype=float32", "train.lr=1e-5",
+    ]
+    monkeypatch.setattr(sys, "argv", argv)
+    train_flow.main()
+    out = capsys.readouterr().out
+    assert {"0", "1"} <= set(os.listdir(ckpt))
+    assert out.count('"val_epe"') == 2  # one per epoch
+
+    # resume: epochs=3 continues with exactly ONE new epoch (epoch 2)
+    argv2 = list(argv)
+    argv2[argv2.index("--epochs") + 1] = "3"
+    monkeypatch.setattr(sys, "argv", argv2 + ["--resume"])
+    train_flow.main()
+    out = capsys.readouterr().out
+    assert "resumed from epoch 1" in out
+    epochs_run = [ln for ln in out.splitlines() if '"epoch"' in ln]
+    assert len(epochs_run) == 1 and '"epoch": 2' in epochs_run[0]

@@ -9,6 +9,11 @@ multiscale-EPE train step (``engine/flow_train.flow_train_step``). Batches
 are sharded over the data mesh (SPMD DP — the gradient psum is inserted by
 XLA). Saves ``.npz`` flax variables consumable by ``tools/eval_flow.py``
 and the tracking pipelines.
+
+Lineage parity (flownet2-pytorch ``main.py``): ``--ckpt-dir`` turns on
+per-epoch orbax checkpointing with best-by-val-EPE tracking and
+``--resume``; ``--val-triplets``/``--val-frames``+``--val-gt-flow``
+score a deterministic center-cropped validation EPE each epoch.
 """
 
 from __future__ import annotations
@@ -52,6 +57,17 @@ def main():
                          "same convention as tools/train.py)")
     ap.add_argument("--epochs", type=int, default=10)
     ap.add_argument("--out", default="flownet_trained.npz")
+    ap.add_argument("--ckpt-dir", default=None,
+                    help="orbax checkpoint dir: per-epoch save, best "
+                         "tracked by val EPE (or train EPE without a val "
+                         "set); enables --resume")
+    ap.add_argument("--resume", action="store_true")
+    ap.add_argument("--val-triplets", default=None,
+                    help="validation FlyingChairs-style dir")
+    ap.add_argument("--val-frames", default=None,
+                    help="validation Sintel-style frames dir")
+    ap.add_argument("--val-gt-flow", default=None,
+                    help="validation per-pair .flo dir")
     ap.add_argument("opts", nargs="*", help="dotted overrides k=v")
     args = ap.parse_args()
     setup_logging()
@@ -87,8 +103,54 @@ def main():
                  "flow": flow}
         return flow_train_step(state, batch, div_flow=div_flow)
 
+    val_ds = None
+    if args.val_triplets or args.val_frames:
+        val_ds = FlowPairDataset(root=args.val_triplets,
+                                 frames_dir=args.val_frames,
+                                 flow_dir=args.val_gt_flow,
+                                 crop_size=(ch, cw), is_train=False)
+        log.info("val corpus: %d pairs (center crop %dx%d)",
+                 len(val_ds), ch, cw)
+
+        from flowtrack_tpu.models.flownet import postprocess_flow
+
+        variant = cfg.flow.variant
+
+        @jax.jit
+        def val_step(state, im1, im2, flow):
+            variables = {"params": state.params}
+            if state.batch_stats:
+                variables["batch_stats"] = state.batch_stats
+            pred = model.apply(variables,
+                               preprocess_pair(im1, im2, rgb_max),
+                               train=False)
+            up = postprocess_flow(pred, variant, (ch, cw), div_flow)
+            return jnp.mean(jnp.sqrt(jnp.sum((up - flow) ** 2, axis=-1)))
+
+        def validate(state):
+            m = AverageMeter()
+            for b in flow_batches(val_ds, global_batch, shuffle=False,
+                                  drop_last=False):
+                epe = val_step(state,
+                               jax.device_put(b["im1"], data_sh),
+                               jax.device_put(b["im2"], data_sh),
+                               jax.device_put(b["flow"], data_sh))
+                m.update(float(epe), n=len(b["im1"]))
+            return m.avg
+
+    mgr = start_epoch = None
+    if args.ckpt_dir:
+        from flowtrack_tpu.engine.checkpoint import CheckpointManager
+
+        mgr = CheckpointManager(args.ckpt_dir)
+        start_epoch = 0
+        if args.resume:
+            state, epoch = mgr.restore(state)
+            start_epoch = epoch + 1
+            log.info("resumed from epoch %d", epoch)
+
     meter = AverageMeter()
-    for epoch in range(args.epochs):
+    for epoch in range(start_epoch or 0, args.epochs):
         t0 = time.time()
         meter.reset()
         for b in flow_batches(ds, global_batch, shuffle=True, seed=epoch,
@@ -98,8 +160,17 @@ def main():
             fl = jax.device_put(b["flow"], data_sh)
             state, m = step(state, im1, im2, fl)
             meter.update(float(m["epe"]), n=len(b["im1"]))
-        log.info(json.dumps({"epoch": epoch, "epe": round(meter.avg, 4),
-                             "seconds": round(time.time() - t0, 1)}))
+        line = {"epoch": epoch, "epe": round(meter.avg, 4),
+                "seconds": round(time.time() - t0, 1)}
+        if val_ds is not None:
+            line["val_epe"] = round(validate(state), 4)
+        log.info(json.dumps(line))
+        if mgr is not None:
+            # best = LOWEST epe; CheckpointManager tracks best by MAX perf
+            mgr.save(epoch, state,
+                     perf=-line.get("val_epe", line["epe"]))
+    if mgr is not None:
+        mgr.wait()
 
     variables = {"params": state.params}
     if state.batch_stats:
