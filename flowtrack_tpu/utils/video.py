@@ -32,9 +32,8 @@ def iter_video_frames(path: str) -> Iterator[np.ndarray]:
     if os.path.isdir(path):
         from flowtrack_tpu.data.pose_dataset import load_image
 
-        for name in sorted(os.listdir(path)):
-            if name.lower().endswith((".png", ".jpg", ".jpeg", ".bmp")):
-                yield load_image(os.path.join(path, name))
+        for p in frame_paths(path):
+            yield load_image(p)
         return
     import cv2
 
@@ -73,6 +72,84 @@ class LazyFrameSequence:
         if isinstance(idx, (int, np.integer)):
             return self._loader(self._paths[idx])
         return np.stack([self._loader(self._paths[i]) for i in idx])
+
+
+class SequentialVideoFrames:
+    """Lazy frame access over a video FILE (cv2.VideoCapture is
+    forward-decode-only). track_video_clips requests monotonically
+    advancing clip windows with a 1-frame overlap and the render loop
+    replays frames in order, so each forward pass decodes every frame
+    once; a small trailing cache serves the overlap re-read, and an
+    index behind the cache transparently reopens the file and decodes
+    forward again (one extra pass, host memory stays O(cache)).
+
+    Raises ValueError when the container's frame-count metadata is
+    unusable (some codecs report 0) — callers fall back to eager
+    loading; ``capture_factory`` exists for that check and for tests."""
+
+    def __init__(self, path: str, cache_frames: int = 4,
+                 capture_factory=None):
+        if capture_factory is None:
+            import cv2
+
+            capture_factory = cv2.VideoCapture
+        self._factory = capture_factory
+        self._path = path
+        self._cap = capture_factory(path)
+        if not self._cap.isOpened():
+            raise FileNotFoundError(path)
+        import cv2
+
+        self._n = int(self._cap.get(cv2.CAP_PROP_FRAME_COUNT))
+        if self._n <= 0:
+            self._cap.release()
+            raise ValueError(f"{path}: no usable frame-count metadata; "
+                             "load the video eagerly instead")
+        self._next = 0          # index the next cap.read() yields
+        self._cache: dict = {}  # trailing window of decoded frames
+        self._keep = max(1, cache_frames)
+
+    def __len__(self):
+        return self._n
+
+    def _frame(self, idx):
+        idx = int(idx)
+        if not 0 <= idx < self._n:
+            raise IndexError(idx)
+        if idx in self._cache:
+            return self._cache[idx]
+        if idx < self._next:  # behind the cache: restart the decode pass
+            self._cap.release()
+            self._cap = self._factory(self._path)
+            self._next = 0
+            self._cache.clear()
+        import cv2
+
+        while self._next <= idx:
+            ok, frame = self._cap.read()
+            if not ok:
+                raise IOError(f"{self._path}: decode failed at frame "
+                              f"{self._next}/{self._n}")
+            self._cache[self._next] = cv2.cvtColor(frame,
+                                                   cv2.COLOR_BGR2RGB)
+            self._next += 1
+            for old in [k for k in self._cache
+                        if k <= self._next - 1 - self._keep]:
+                del self._cache[old]
+        return self._cache[idx]
+
+    def __getitem__(self, idx):
+        if isinstance(idx, (int, np.integer)):
+            return self._frame(idx)
+        return np.stack([self._frame(i) for i in idx])
+
+
+def frame_paths(directory: str) -> List[str]:
+    """Sorted image paths in a frame directory (iter_video_frames's
+    directory convention, exposed for lazy access)."""
+    return [os.path.join(directory, name)
+            for name in sorted(os.listdir(directory))
+            if name.lower().endswith((".png", ".jpg", ".jpeg", ".bmp"))]
 
 
 def clip_spans(n_frames: int, clip_len: int) -> List[range]:

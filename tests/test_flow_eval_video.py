@@ -2,6 +2,7 @@
 full clip-stitched tracking with stub models)."""
 
 import numpy as np
+import pytest
 
 from flowtrack_tpu.eval.flow_eval import (
     evaluate_flow_pairs,
@@ -105,6 +106,63 @@ class TestVideoUtils:
         assert win.shape == (2, 8, 8, 3)
         assert calls == [paths[1], paths[2]]  # nothing else was loaded
         np.testing.assert_array_equal(seq[1], win[0])
+
+    def test_sequential_video_frames(self):
+        """SequentialVideoFrames decodes forward once per pass with an
+        O(cache) trailing window: the track_video_clips access pattern
+        (advancing windows, 1-frame overlap) costs one decode per frame,
+        a backward jump restarts the pass, and unusable frame-count
+        metadata raises for the CLI's eager fallback."""
+        from flowtrack_tpu.utils.video import SequentialVideoFrames
+
+        decode_log = []
+
+        class FakeCap:
+            """cv2.VideoCapture stand-in: frame i = constant BGR value i."""
+
+            def __init__(self, path, n=10):
+                self._i, self._n = 0, n
+
+            def isOpened(self):
+                return True
+
+            def get(self, prop):
+                return self._n
+
+            def read(self):
+                if self._i >= self._n:
+                    return False, None
+                decode_log.append(self._i)
+                frame = np.full((4, 4, 3), self._i, np.uint8)
+                frame[..., 0] = 200 + self._i  # B channel marks BGR order
+                self._i += 1
+                return True, frame
+
+            def release(self):
+                pass
+
+        seq = SequentialVideoFrames("fake.mp4", cache_frames=2,
+                                    capture_factory=FakeCap)
+        assert len(seq) == 10
+        w0 = seq[list(range(0, 4))]          # clip 0
+        w1 = seq[list(range(3, 7))]          # clip 1 (re-reads frame 3)
+        assert w0.shape == (4, 4, 4, 3)
+        # BGR -> RGB conversion applied (red channel carries the B marker)
+        assert int(w0[1, 0, 0, 2]) == 201 and int(w0[1, 0, 0, 0]) == 1
+        np.testing.assert_array_equal(w1[0], w0[3])
+        assert decode_log == list(range(7))  # each frame decoded ONCE
+        # render pass jumps back to 0 -> exactly one restarted pass
+        decode_log.clear()
+        for t in range(10):
+            assert int(seq[t][0, 0, 1]) == t
+        assert decode_log == list(range(10))
+
+        class NoCount(FakeCap):
+            def get(self, prop):
+                return 0
+
+        with pytest.raises(ValueError):
+            SequentialVideoFrames("fake.mp4", capture_factory=NoCount)
 
     def test_stitch_ids(self, rng):
         poses = rng.uniform(0, 100, (3, 17, 2))

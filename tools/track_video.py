@@ -24,7 +24,13 @@ from flowtrack_tpu.models.flownet import get_flow_net
 from flowtrack_tpu.models.pose_resnet import get_pose_net
 from flowtrack_tpu.tracking.clip_pipeline import ClipTracker
 from flowtrack_tpu.utils.logging import setup_logging
-from flowtrack_tpu.utils.video import iter_video_frames, track_video_clips
+from flowtrack_tpu.utils.video import (
+    LazyFrameSequence,
+    SequentialVideoFrames,
+    frame_paths,
+    iter_video_frames,
+    track_video_clips,
+)
 from flowtrack_tpu.utils.vis import draw_skeleton, save_image
 
 log = logging.getLogger("flowtrack.track_video")
@@ -47,7 +53,17 @@ def main():
     setup_logging()
 
     cfg = apply_overrides(get_config(args.cfg), args.opts)
-    frames = np.stack(list(iter_video_frames(args.video)))
+    # lazy frame access: track_video_clips only touches the current clip
+    # window (+ 1-clip lookahead), so host memory stays O(clip_len) for
+    # long videos; frame dirs index randomly, video files decode forward
+    if os.path.isdir(args.video):
+        frames = LazyFrameSequence(frame_paths(args.video))
+    else:
+        try:
+            frames = SequentialVideoFrames(args.video)
+        except ValueError as e:  # no usable frame-count metadata
+            log.warning("%s; loading eagerly", e)
+            frames = np.stack(list(iter_video_frames(args.video)))
     with open(args.detections) as f:
         dets = json.load(f)  # list per frame: [{bbox, score}, ...]
     det_boxes = [[d["bbox"] for d in fr] for fr in dets]
