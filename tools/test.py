@@ -32,29 +32,33 @@ from flowtrack_tpu.utils.logging import setup_logging
 log = logging.getLogger("flowtrack.test")
 
 
+def build_val_dataset(cfg):
+    """The validation dataset for cfg.data.dataset (mpii PCKh / posetrack
+    with GT-box fallback / coco). Split out so epoch loops can build it
+    once and pass it to run_validation per epoch."""
+    if cfg.data.dataset == "mpii":
+        return MPIIDataset(cfg, cfg.data.root, "valid", is_train=False)
+    if cfg.data.dataset == "posetrack":
+        from flowtrack_tpu.data import PoseTrackDataset
+
+        if not cfg.test.bbox_file and not cfg.test.use_gt_bbox:
+            # pose-mAP eval on PoseTrack falls back to GT boxes when
+            # no detection file is configured (same as tools/track.py)
+            from dataclasses import replace
+
+            cfg = replace(cfg, test=replace(cfg.test, use_gt_bbox=True))
+        return PoseTrackDataset(cfg, cfg.data.root, cfg.data.test_set,
+                                is_train=False)
+    return COCODataset(cfg, cfg.data.root, cfg.data.test_set,
+                       is_train=False,
+                       bbox_file=cfg.test.bbox_file or None)
+
+
 def run_validation(cfg, model, variables, mesh=None, output_dir=None,
                    dataset=None):
     """Returns the eval stats dict (AP table for COCO, PCKh for MPII)."""
     if dataset is None:
-        if cfg.data.dataset == "mpii":
-            dataset = MPIIDataset(cfg, cfg.data.root, "valid",
-                                  is_train=False)
-        elif cfg.data.dataset == "posetrack":
-            from flowtrack_tpu.data import PoseTrackDataset
-
-            if not cfg.test.bbox_file and not cfg.test.use_gt_bbox:
-                # pose-mAP eval on PoseTrack falls back to GT boxes when
-                # no detection file is configured (same as tools/track.py)
-                from dataclasses import replace
-
-                cfg = replace(cfg,
-                              test=replace(cfg.test, use_gt_bbox=True))
-            dataset = PoseTrackDataset(cfg, cfg.data.root,
-                                       cfg.data.test_set, is_train=False)
-        else:
-            dataset = COCODataset(cfg, cfg.data.root, cfg.data.test_set,
-                                  is_train=False,
-                                  bbox_file=cfg.test.bbox_file or None)
+        dataset = build_val_dataset(cfg)
     flip_pairs = (MPII_FLIP_PAIRS if cfg.data.dataset == "mpii"
                   else COCO_FLIP_PAIRS)
     mesh = mesh or make_mesh(cfg.mesh.num_devices)

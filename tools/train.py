@@ -28,7 +28,7 @@ from flowtrack_tpu.engine.train import (
 from flowtrack_tpu.models.pose_resnet import get_pose_net
 from flowtrack_tpu.parallel import batch_sharding, make_mesh, replicated
 from flowtrack_tpu.utils.logging import setup_logging
-from tools.test import run_validation
+from tools.test import build_val_dataset, run_validation
 
 log = logging.getLogger("flowtrack.train")
 
@@ -128,6 +128,8 @@ def main():
 
     step_fn = make_jit_train_step(cfg.train.use_target_weight)
 
+    val_ds = None
+
     for epoch in range(start_epoch, cfg.train.end_epoch):
         losses, accs, btime = AverageMeter(), AverageMeter(), AverageMeter()
         t0 = time.time()
@@ -151,13 +153,16 @@ def main():
 
         perf = 0.0
         try:
-            # run_validation builds the right dataset class per
-            # cfg.data.dataset (incl. posetrack with GT-box fallback);
-            # absent val data lands in the except below, not a crash
+            # build_val_dataset picks the right dataset class per
+            # cfg.data.dataset (incl. posetrack with GT-box fallback),
+            # cached across epochs; absent val data lands in the except
+            # below, not a crash
+            if val_ds is None:
+                val_ds = build_val_dataset(cfg)
             stats = run_validation(cfg, model,
                                    {"params": state.params,
                                     "batch_stats": state.batch_stats},
-                                   mesh=mesh)
+                                   mesh=mesh, dataset=val_ds)
             perf = stats.get("AP", stats.get("Mean", 0.0))
         except Exception as e:  # validation data may be absent
             log.warning("validation skipped: %s", e)
