@@ -140,10 +140,11 @@ class FlowPairDataset:
 
 def flow_batches(dataset: FlowPairDataset, batch_size: int,
                  shuffle: bool = True, seed: int = 0, drop_last: bool = True):
-    """Generator of static-shape batches {"im1", "im2", "flow"} (numpy).
-    The last short batch is PADDED by repeating samples when
+    """Generator of static-shape batches {"im1", "im2", "flow", "n_real"}
+    (numpy). The last short batch is PADDED by repeating samples when
     drop_last=False (flow training is loss-averaged; repeated samples only
-    reweight, they never change shapes)."""
+    reweight, they never change shapes); ``n_real`` is the unpadded count
+    so metric consumers (validation EPE) can exclude the duplicates."""
     rng = np.random.default_rng(seed)
     order = np.arange(len(dataset))
     if shuffle:
@@ -151,14 +152,15 @@ def flow_batches(dataset: FlowPairDataset, batch_size: int,
     n = len(order)
     for start in range(0, n, batch_size):
         idx = order[start:start + batch_size]
-        if len(idx) < batch_size:
+        n_real = len(idx)
+        if n_real < batch_size:
             if drop_last:
                 return
             # cyclic tile: the shortfall may exceed the corpus (tiny
             # datasets on wide meshes)
             idx = np.concatenate(
-                [idx, np.resize(order, batch_size - len(idx))])
+                [idx, np.resize(order, batch_size - n_real)])
         im1s, im2s, flows = zip(*(dataset.__getitem__(int(i), rng=rng)
                                   for i in idx))
         yield {"im1": np.stack(im1s), "im2": np.stack(im2s),
-               "flow": np.stack(flows)}
+               "flow": np.stack(flows), "n_real": n_real}

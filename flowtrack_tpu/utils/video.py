@@ -85,7 +85,13 @@ class SequentialVideoFrames:
 
     Raises ValueError when the container's frame-count metadata is
     unusable (some codecs report 0) — callers fall back to eager
-    loading; ``capture_factory`` exists for that check and for tests."""
+    loading; ``capture_factory`` exists for that check and for tests.
+
+    CAP_PROP_FRAME_COUNT is approximate for some containers: when the
+    header OVERCOUNTS, indices past the last decodable frame return a
+    freeze of that frame (with one warning) instead of killing a
+    long tracking run mid-way; an undercount drops trailing frames
+    (unknowable up front — use a frame directory for exact counts)."""
 
     def __init__(self, path: str, cache_frames: int = 4,
                  capture_factory=None):
@@ -128,8 +134,22 @@ class SequentialVideoFrames:
         while self._next <= idx:
             ok, frame = self._cap.read()
             if not ok:
-                raise IOError(f"{self._path}: decode failed at frame "
-                              f"{self._next}/{self._n}")
+                # container header overcounted (approximate metadata):
+                # freeze the last decodable frame rather than crash
+                last = self._next - 1
+                if last < 0 or last not in self._cache:
+                    raise IOError(f"{self._path}: decode failed at frame "
+                                  f"{self._next}/{self._n}")
+                import logging
+
+                logging.getLogger("flowtrack.video").warning(
+                    "%s: only %d of %d header-reported frames decode; "
+                    "freezing the last frame for the remainder",
+                    self._path, self._next, self._n)
+                while self._next <= idx:
+                    self._cache[self._next] = self._cache[last]
+                    self._next += 1
+                break
             self._cache[self._next] = cv2.cvtColor(frame,
                                                    cv2.COLOR_BGR2RGB)
             self._next += 1
@@ -231,11 +251,29 @@ def track_video_clips(tracker, frames: np.ndarray, det_boxes, det_scores,
     # hides the transfer behind compute.
     def dispatch(span, seed):
         idx = list(span)
-        db, dsc, dv = pad_detections([det_boxes[i] for i in idx],
-                                     [det_scores[i] for i in idx],
-                                     max_persons)
+        real = len(idx)
+        boxes = [det_boxes[i] for i in idx]
+        scores = [det_scores[i] for i in idx]
+        window = np.asarray(frames[idx])
+        frame_valid = None
+        if real < clip_len:
+            # ragged tail clip (or short video): pad to the fixed clip
+            # shape so EVERY clip reuses one compiled program — a
+            # distinct frame count would recompile (minutes on TPU).
+            # Padded frames replicate the last real frame and carry no
+            # valid detections; frame_valid masks them out of recovery.
+            # Real-frame results are identical to an unpadded trace (the
+            # larger static recovery budget only adds -inf top-k slots),
+            # and the tail clip's seed_out is never consumed.
+            pad = clip_len - real
+            window = np.concatenate(
+                [window, np.repeat(window[-1:], pad, axis=0)])
+            boxes = boxes + [[]] * pad
+            scores = scores + [[]] * pad
+            frame_valid = np.arange(clip_len) < real
+        db, dsc, dv = pad_detections(boxes, scores, max_persons)
         return idx, tracker.run_prepared(
-            tracker.prepare(frames[idx], db, dsc, dv,
+            tracker.prepare(window, db, dsc, dv, frame_valid=frame_valid,
                             frame_offset=idx[0]), seed=seed)
 
     spans = clip_spans(n, clip_len)

@@ -563,9 +563,14 @@ def test_seeded_clip_frame_sharded_matches_unsharded():
     seed_plain = want1[5]
     got1 = tracker.track_clip(frames1, db, dsc, dv,
                               frame_sharding=batch_sharding(mesh))
+    # (b) for the ragged clip itself: sharded outputs == unsharded
+    want1_host = tracker.to_host(want1)
+    np.testing.assert_array_equal(got1["ids"], want1_host["ids"])
+    np.testing.assert_array_equal(got1["valid"], want1_host["valid"])
+    np.testing.assert_allclose(got1["joints"], want1_host["joints"],
+                               rtol=1e-5, atol=1e-4)
 
     # the sharded+padded run's seed must equal the unsharded run's seed
-    args = tracker.prepare(frames1, db, dsc, dv)
     from flowtrack_tpu.parallel import pad_to_multiple
     fr_p, _ = pad_to_multiple(frames1, mesh.size)
     db_p, _ = pad_to_multiple(db, mesh.size)

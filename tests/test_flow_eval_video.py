@@ -164,6 +164,61 @@ class TestVideoUtils:
         with pytest.raises(ValueError):
             SequentialVideoFrames("fake.mp4", capture_factory=NoCount)
 
+        class OverCount(FakeCap):
+            """Header claims 10 frames, only 6 decode (approximate
+            container metadata): the tail freezes the last real frame
+            instead of crashing a long tracking run."""
+
+            def read(self):
+                if self._i >= 6:
+                    return False, None
+                return super().read()
+
+        decode_log.clear()
+        seq = SequentialVideoFrames("fake.mp4", cache_frames=2,
+                                    capture_factory=OverCount)
+        assert len(seq) == 10
+        w = seq[list(range(4, 10))]
+        np.testing.assert_array_equal(w[2], w[1])  # frames 6..9 == frame 5
+        np.testing.assert_array_equal(w[5], w[1])
+        assert int(w[1][0, 0, 1]) == 5
+        assert decode_log == list(range(6))
+
+    def test_tail_clip_padded_to_fixed_shape(self):
+        """Ragged tail clips are padded to clip_len so every clip of a
+        video reuses ONE compiled program (a distinct tail length would
+        recompile — minutes on TPU), with the person tracked identically
+        through the padded tail."""
+        from tests.test_clip_pipeline import VEL, default_tracker
+
+        tracker = default_tracker()
+        n, clip_len = 9, 4           # spans 4/4/3 -> tail padded to 4
+        frames = np.zeros((n, 128, 160, 3), np.float32)
+        det_boxes, det_scores = [], []
+        for t in range(n):
+            ax, ay = 30 + VEL[0] * t, 40 + VEL[1] * t
+            det_boxes.append([[ax - 12, ay - 12, 24, 24]])
+            det_scores.append([0.9])
+
+        shapes = []
+        orig = tracker.run_prepared
+
+        def spy(args, **kw):
+            shapes.append(tuple(np.asarray(args[0]).shape))
+            return orig(args, **kw)
+
+        tracker.run_prepared = spy
+        try:
+            results = track_video_clips(tracker, frames, det_boxes,
+                                        det_scores, clip_len=clip_len)
+        finally:
+            tracker.run_prepared = orig
+        assert len(shapes) == 3 and len(set(shapes)) == 1, shapes
+        assert shapes[0][0] == clip_len, shapes
+        assert all(len(results[t]) == 1 for t in range(n)), results
+        ids = {p["track_id"] for t in range(n) for p in results[t]}
+        assert len(ids) == 1, ids
+
     def test_stitch_ids(self, rng):
         poses = rng.uniform(0, 100, (3, 17, 2))
         prev_ids = [5, 9, 11]

@@ -125,7 +125,10 @@ def main():
                                preprocess_pair(im1, im2, rgb_max),
                                train=False)
             up = postprocess_flow(pred, variant, (ch, cw), div_flow)
-            return jnp.mean(jnp.sqrt(jnp.sum((up - flow) ** 2, axis=-1)))
+            # per-SAMPLE EPE: the host trims the short-batch padding
+            # duplicates (repeated samples must not bias the metric)
+            return jnp.mean(jnp.sqrt(jnp.sum((up - flow) ** 2, axis=-1)),
+                            axis=(1, 2))
 
         def validate(state):
             m = AverageMeter()
@@ -135,7 +138,8 @@ def main():
                                jax.device_put(b["im1"], data_sh),
                                jax.device_put(b["im2"], data_sh),
                                jax.device_put(b["flow"], data_sh))
-                m.update(float(epe), n=len(b["im1"]))
+                real = np.asarray(epe)[:b["n_real"]]
+                m.update(float(real.mean()), n=len(real))
             return m.avg
 
     mgr = start_epoch = None
