@@ -70,3 +70,19 @@ def test_eval_flow_cli(tmp_path, monkeypatch, capsys, rng):
     assert out["metric"] == "flow_epe"
     assert out["n_frames"] == 2
     assert np.isfinite(out["epe"])
+
+    # pure inference mode (no GT): --save-flo dumps one .flo per pair
+    # (+ color-wheel render), flownet2-pytorch inference-mode parity
+    from flowtrack_tpu.eval.flow_eval import read_flo
+
+    out_dir = tmp_path / "pred"
+    monkeypatch.setattr(sys, "argv", [
+        "eval_flow.py", "--weights", str(tmp_path / "w.npz"),
+        "--frames", str(frames_dir), "--save-flo", str(out_dir),
+        "--render", "flow.dtype=float32"])
+    eval_flow.main()
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["pairs"] == 2 and "epe" not in out
+    pred = read_flo(str(out_dir / "000.flo"))
+    assert pred.shape == (64, 64, 2) and np.isfinite(pred).all()
+    assert (out_dir / "000.png").exists() and (out_dir / "001.flo").exists()
