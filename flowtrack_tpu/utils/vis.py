@@ -63,6 +63,40 @@ def heatmaps_to_grid(heatmaps, cols=5):
     return (grid * 255).astype(np.uint8)
 
 
+def save_debug_images(crops, heatmaps, out_dir, prefix="val", mean=None,
+                      std=None, limit=8):
+    """Reference validate-loop debug dump (lineage core/function.py
+    ``save_debug_images``): for up to ``limit`` samples, write the
+    de-normalized input crop with the heatmap-argmax pose drawn on it and
+    the per-joint heatmap grid.
+
+    crops: (N, H, W, 3) normalized floats ((x/255 - mean)/std);
+    heatmaps: (N, h, w, K)."""
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)
+    mean = np.asarray([0.485, 0.456, 0.406] if mean is None else mean,
+                      np.float32)
+    std = np.asarray([0.229, 0.224, 0.225] if std is None else std,
+                     np.float32)
+    crops = np.asarray(crops, np.float32)
+    heatmaps = np.asarray(heatmaps, np.float32)
+    stride = crops.shape[1] / heatmaps.shape[1]
+    for i in range(min(len(crops), limit)):
+        img = np.clip((crops[i] * std + mean) * 255.0, 0,
+                      255).astype(np.uint8).copy()
+        hm = heatmaps[i]
+        k = hm.shape[-1]
+        flat = hm.reshape(-1, k)
+        ys, xs = np.unravel_index(flat.argmax(axis=0), hm.shape[:2])
+        joints = np.stack([xs, ys], axis=1).astype(np.float32) * stride
+        draw_skeleton(img, joints, flat.max(axis=0), thresh=0.2,
+                      track_id=i)
+        save_image(os.path.join(out_dir, f"{prefix}_{i}_pred.png"), img)
+        save_image(os.path.join(out_dir, f"{prefix}_{i}_hm.png"),
+                   heatmaps_to_grid(hm))
+
+
 def _make_color_wheel():
     """Middlebury flow color wheel (55 colors)."""
     ry, yg, gc, cb, bm, mr = 15, 6, 4, 11, 13, 6

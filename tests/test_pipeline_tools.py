@@ -137,7 +137,15 @@ class TestRunValidation:
         variables = model.init(jax.random.PRNGKey(0),
                                jnp.zeros((1, 64, 64, 3)), train=False)
         stats = run_validation(cfg, model, variables, dataset=ds,
-                               output_dir=str(tmp_path / "out"))
+                               output_dir=str(tmp_path / "out"),
+                               debug_dir=str(tmp_path / "dbg"))
         assert set(stats) >= {"AP", "AP50", "AR"}
         assert (tmp_path / "out" /
                 "keypoints_val2017_results.json").exists()
+        # the reference validate loop's save_debug_images twin: first
+        # batch's crops with predicted skeletons + heatmap grids
+        import os
+
+        dumped = os.listdir(tmp_path / "dbg")
+        assert any(f.endswith("_pred.png") for f in dumped), dumped
+        assert any(f.endswith("_hm.png") for f in dumped), dumped

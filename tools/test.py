@@ -55,8 +55,11 @@ def build_val_dataset(cfg):
 
 
 def run_validation(cfg, model, variables, mesh=None, output_dir=None,
-                   dataset=None):
-    """Returns the eval stats dict (AP table for COCO, PCKh for MPII)."""
+                   dataset=None, debug_dir=None):
+    """Returns the eval stats dict (AP table for COCO, PCKh for MPII).
+    ``debug_dir``: dump the first batch's crops with predicted skeletons
+    + per-joint heatmap grids (the reference validate loop's
+    save_debug_images)."""
     if dataset is None:
         dataset = build_val_dataset(cfg)
     flip_pairs = (MPII_FLIP_PAIRS if cfg.data.dataset == "mpii"
@@ -81,6 +84,7 @@ def run_validation(cfg, model, variables, mesh=None, output_dir=None,
         return preds, maxvals, rescore(score, maxvals, cfg.test.in_vis_thre)
 
     all_preds, all_maxvals, all_scores, all_ids = [], [], [], []
+    dumped = False
     for batch in loader:
         n = int(batch["n_valid"])
         preds, maxvals, scores = step(
@@ -89,6 +93,14 @@ def run_validation(cfg, model, variables, mesh=None, output_dir=None,
             jax.device_put(batch["center"], data_sh),
             jax.device_put(batch["scale"], data_sh),
             jax.device_put(batch["score"], data_sh))
+        if debug_dir and not dumped:
+            from flowtrack_tpu.utils.vis import save_debug_images
+
+            hm = np.asarray(jax.jit(fwd)(
+                variables, jax.device_put(batch["input"], data_sh)))
+            save_debug_images(np.asarray(batch["input"])[:n], hm[:n],
+                              debug_dir, prefix=cfg.data.dataset)
+            dumped = True
         all_preds.append(np.asarray(preds)[:n])
         all_maxvals.append(np.asarray(maxvals)[:n])
         all_scores.append(np.asarray(scores)[:n])
@@ -115,6 +127,9 @@ def main():
     ap.add_argument("--weights", required=True,
                     help=".npz flax variables or torch .pth")
     ap.add_argument("--out", default="output/eval")
+    ap.add_argument("--debug-dir", default=None,
+                    help="dump first-batch debug images (crops with "
+                         "predicted skeletons + heatmap grids)")
     ap.add_argument("opts", nargs="*")
     args = ap.parse_args()
     setup_logging()
@@ -131,7 +146,8 @@ def main():
 
         variables = convert_pose_resnet(load_torch_file(args.weights))
     variables = jax.tree.map(jnp.asarray, variables)
-    run_validation(cfg, model, variables, output_dir=args.out)
+    run_validation(cfg, model, variables, output_dir=args.out,
+                   debug_dir=args.debug_dir)
 
 
 if __name__ == "__main__":
