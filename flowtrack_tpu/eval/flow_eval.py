@@ -19,21 +19,23 @@ FLO_MAGIC = 202021.25
 def read_flo(path: str) -> np.ndarray:
     """.flo -> (H, W, 2) float32."""
     with open(path, "rb") as f:
-        magic = struct.unpack("f", f.read(4))[0]
+        # the Middlebury container is little-endian by spec — explicit
+        # '<' formats keep the IO pair correct on big-endian hosts
+        magic = struct.unpack("<f", f.read(4))[0]
         if abs(magic - FLO_MAGIC) > 1e-3:
             raise ValueError(f"{path}: bad .flo magic {magic}")
-        w, h = struct.unpack("ii", f.read(8))
-        data = np.frombuffer(f.read(w * h * 2 * 4), np.float32)
-    return data.reshape(h, w, 2).copy()
+        w, h = struct.unpack("<ii", f.read(8))
+        data = np.frombuffer(f.read(w * h * 2 * 4), "<f4")
+    return data.reshape(h, w, 2).astype(np.float32)
 
 
 def write_flo(path: str, flow: np.ndarray):
     flow = np.asarray(flow, np.float32)
     h, w = flow.shape[:2]
     with open(path, "wb") as f:
-        f.write(struct.pack("f", FLO_MAGIC))
-        f.write(struct.pack("ii", w, h))
-        f.write(flow.astype(np.float32).tobytes())
+        f.write(struct.pack("<f", FLO_MAGIC))
+        f.write(struct.pack("<ii", w, h))
+        f.write(flow.astype("<f4").tobytes())
 
 
 def flow_error_stats(pred: np.ndarray, gt: np.ndarray,
@@ -61,6 +63,13 @@ def flow_error_stats(pred: np.ndarray, gt: np.ndarray,
 
 def evaluate_flow_pairs(preds, gts, valids=None) -> Dict[str, float]:
     """Dataset-level: average per-frame stats (Sintel convention)."""
+    if len(preds) != len(gts):
+        # zip would silently truncate and report a skewed dataset EPE
+        raise ValueError(f"{len(preds)} predictions vs {len(gts)} GT "
+                         "flow fields")
+    if valids is not None and len(valids) != len(preds):
+        raise ValueError(f"{len(valids)} valid masks for {len(preds)} "
+                         "pairs")
     valids = valids if valids is not None else [None] * len(preds)
     per = [flow_error_stats(p, g, v) for p, g, v in zip(preds, gts, valids)]
     if not per:

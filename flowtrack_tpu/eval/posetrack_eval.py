@@ -132,6 +132,18 @@ def _average_precision(scores, is_tp, num_gt):
     return float(np.sum((mrec[change] - mrec[change - 1]) * mpre[change]))
 
 
+def _check_lengths(gt_sequences, pred_sequences):
+    """zip would silently truncate ragged inputs, inflating MOTA/mAP by
+    never counting the dropped frames' GT as misses — be strict instead."""
+    if len(gt_sequences) != len(pred_sequences):
+        raise ValueError(f"{len(gt_sequences)} GT sequences vs "
+                         f"{len(pred_sequences)} prediction sequences")
+    for si, (g, p) in enumerate(zip(gt_sequences, pred_sequences)):
+        if len(g) != len(p):
+            raise ValueError(f"sequence {si}: {len(g)} GT frames vs "
+                             f"{len(p)} prediction frames")
+
+
 def evaluate_posetrack(gt_sequences: Sequence[Sequence[List[dict]]],
                        pred_sequences: Sequence[Sequence[List[dict]]],
                        num_joints: int = 17,
@@ -149,13 +161,17 @@ def evaluate_posetrack(gt_sequences: Sequence[Sequence[List[dict]]],
     fp = np.zeros(num_joints, np.int64)
     switches = np.zeros(num_joints, np.int64)
 
+    _check_lengths(gt_sequences, pred_sequences)
     for gt_seq, pred_seq in zip(gt_sequences, pred_sequences):
-        last_match: Dict[int, int] = {}  # gt track -> pred track (per joint
-        # switches are counted pose-level per the protocol simplification)
+        # switches are counted per joint class (one association map each)
         last_match_joint = [dict() for _ in range(num_joints)]
         for gts, preds in zip(gt_seq, pred_seq):
-            for g in gts:
-                labeled = np.asarray(g["keypoints"])[:, 2] > 0
+            # parse once per frame, not per joint (same hoisting as the
+            # MOT backend)
+            labeled_all = [np.asarray(g["keypoints"])[:, 2] > 0
+                           for g in gts]
+            conf_all = [_joint_conf(p) for p in preds]
+            for labeled in labeled_all:
                 joint_gt_count += labeled.astype(np.int64)
             matches = match_frame(gts, preds)
             matched_gt = {m[0] for m in matches}
@@ -163,8 +179,7 @@ def evaluate_posetrack(gt_sequences: Sequence[Sequence[List[dict]]],
 
             for gi, pi, hits in matches:
                 g, p = gts[gi], preds[pi]
-                labeled = np.asarray(g["keypoints"])[:, 2] > 0
-                pconf = _joint_conf(p)
+                labeled, pconf = labeled_all[gi], conf_all[pi]
                 for k in range(num_joints):
                     if labeled[k]:
                         if hits[k]:
@@ -185,15 +200,13 @@ def evaluate_posetrack(gt_sequences: Sequence[Sequence[List[dict]]],
             # matched poses whose prediction landed elsewhere
             for pi, p in enumerate(preds):
                 if pi not in matched_pred:
-                    pconf = _joint_conf(p)
+                    pconf = conf_all[pi]
                     for k in range(num_joints):
                         joint_scores[k].append(pconf[k])
                         joint_tp[k].append(False)
                         fp[k] += 1
             for gi, pi, hits in matches:
-                g = gts[gi]
-                labeled = np.asarray(g["keypoints"])[:, 2] > 0
-                pconf = _joint_conf(preds[pi])
+                labeled, pconf = labeled_all[gi], conf_all[pi]
                 for k in range(num_joints):
                     if labeled[k] and not hits[k]:
                         joint_scores[k].append(pconf[k])
@@ -203,8 +216,7 @@ def evaluate_posetrack(gt_sequences: Sequence[Sequence[List[dict]]],
             for gi, g in enumerate(gts):
                 if gi in matched_gt:
                     continue
-                labeled = np.asarray(g["keypoints"])[:, 2] > 0
-                miss += labeled.astype(np.int64)
+                miss += labeled_all[gi].astype(np.int64)
 
     per_joint_ap = np.array([
         _average_precision(joint_scores[k], joint_tp[k], joint_gt_count[k])
@@ -266,6 +278,7 @@ def evaluate_posetrack_mot(gt_sequences: Sequence[Sequence[List[dict]]],
     fp_unlabeled = np.zeros(num_joints, np.int64)
     switches = np.zeros(num_joints, np.int64)
 
+    _check_lengths(gt_sequences, pred_sequences)
     for gt_seq, pred_seq in zip(gt_sequences, pred_sequences):
         # gap-tolerant association memory, one map per joint class
         last_assoc = [dict() for _ in range(num_joints)]

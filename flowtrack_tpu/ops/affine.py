@@ -127,14 +127,18 @@ def box_to_center_scale(box, aspect_ratio, scale_padding=1.25):
 
 
 def fliplr_joints(joints, joints_vis, width, flip_pairs):
-    """Horizontally flip joint coordinates + swap left/right joints (training aug)."""
+    """Horizontally flip joint coordinates + swap left/right joints
+    (training aug). Invisible joints are zeroed (``joints * joints_vis``
+    in the reference) for BOTH vis layouts — (K,) and (K, dims)."""
     joints = np.array(joints, dtype=np.float64)
     joints_vis = np.array(joints_vis)
     joints[:, 0] = width - joints[:, 0] - 1
     for a, b in flip_pairs:
         joints[[a, b]] = joints[[b, a]]
         joints_vis[[a, b]] = joints_vis[[b, a]]
-    return joints * joints_vis[:, :1] if joints_vis.ndim == 2 else joints, joints_vis
+    vis_col = joints_vis[:, :1] if joints_vis.ndim == 2 \
+        else joints_vis[:, None]
+    return joints * (vis_col > 0), joints_vis
 
 
 # ---------------------------------------------------------------------------
@@ -207,8 +211,16 @@ def affine_transform_jax(pts, t):
 # ---------------------------------------------------------------------------
 
 def _bilinear_sample(img, src_x, src_y):
-    """Sample img (H, W, C) at float coords; out-of-bounds taps read 0."""
+    """Sample img (H, W, C) at float coords; out-of-bounds taps read 0.
+
+    Integer images are blended in float32 and rounded back (cv2
+    semantics) — casting the fractional weights to an integer dtype
+    would silently degrade to floor-neighbor sampling."""
     h, w = img.shape[0], img.shape[1]
+    out_dtype = img.dtype
+    compute = (img.dtype if jnp.issubdtype(img.dtype, jnp.floating)
+               else jnp.float32)
+    img = img.astype(compute)
     x0 = jnp.floor(src_x)
     y0 = jnp.floor(src_y)
     wx = (src_x - x0)[..., None]
@@ -221,18 +233,21 @@ def _bilinear_sample(img, src_x, src_y):
         xc = jnp.clip(xi, 0, w - 1)
         yc = jnp.clip(yi, 0, h - 1)
         v = img[yc, xc]  # gather: (..., C)
-        return v * valid[..., None].astype(img.dtype)
+        return v * valid[..., None].astype(compute)
 
     v00 = tap(y0i, x0i)
     v01 = tap(y0i, x0i + 1)
     v10 = tap(y0i + 1, x0i)
     v11 = tap(y0i + 1, x0i + 1)
-    one = jnp.asarray(1.0, img.dtype)
-    wx = wx.astype(img.dtype)
-    wy = wy.astype(img.dtype)
+    one = jnp.asarray(1.0, compute)
+    wx = wx.astype(compute)
+    wy = wy.astype(compute)
     top = v00 * (one - wx) + v01 * wx
     bot = v10 * (one - wx) + v11 * wx
-    return top * (one - wy) + bot * wy
+    out = top * (one - wy) + bot * wy
+    if out.dtype != out_dtype:
+        out = jnp.rint(out).astype(out_dtype)
+    return out
 
 
 def warp_affine(img, trans, out_hw):

@@ -89,9 +89,15 @@ def crop_resize_normalize(image, centers, scales, out_hw, mean=None,
     wy = jax.vmap(lambda s, t: _bilinear_matrix(s, t, out_h, h))(sy, ty)
     wx = jax.vmap(lambda s, t: _bilinear_matrix(s, t, out_w, w))(sx, tx)
     img = image.astype(jnp.float32)
+    # fp32 crops need full-precision interpolation matmuls on TPU (the
+    # cv2-exact golden parity / CLAUDE.md invariant — default einsum
+    # precision is bf16 single-pass); bf16 crops keep the fast default,
+    # same policy as models/layers._precision_for.
+    precision = (jax.lax.Precision.HIGHEST
+                 if jnp.dtype(out_dtype) == jnp.float32 else None)
     # (P, out_h, W, C) then (P, out_h, out_w, C)
-    tmp = jnp.einsum("phH,HWc->phWc", wy, img)
-    out = jnp.einsum("phWc,pwW->phwc", tmp, wx)
+    tmp = jnp.einsum("phH,HWc->phWc", wy, img, precision=precision)
+    out = jnp.einsum("phWc,pwW->phwc", tmp, wx, precision=precision)
     if mean is not None:
         mean = jnp.asarray(mean, jnp.float32)
         std = jnp.asarray(std, jnp.float32)
@@ -105,7 +111,7 @@ def crop_resize_normalize(image, centers, scales, out_hw, mean=None,
 
 
 def _crop_kernel(params_ref, img_ref, out_ref, *, out_h, out_w, h, w, c,
-                 mean, std, inv_rgb_max, normalize):
+                 mean, std, inv_rgb_max, normalize, precision):
     """One person per grid step. params: the FULL (P, 4) [sx, tx, sy, ty]
     array in SMEM (per-person block shapes violate the (8, 128) divisibility
     rule on hardware); img: (H, W, C) VMEM (constant across grid);
@@ -121,8 +127,10 @@ def _crop_kernel(params_ref, img_ref, out_ref, *, out_h, out_w, h, w, c,
 
     for ch in range(c):
         img_c = img_ref[:, :, ch].astype(jnp.float32)    # (H, W)
-        tmp = jnp.dot(wy, img_c, preferred_element_type=jnp.float32)
-        crop = jnp.dot(tmp, wx.T, preferred_element_type=jnp.float32)
+        tmp = jnp.dot(wy, img_c, preferred_element_type=jnp.float32,
+                      precision=precision)
+        crop = jnp.dot(tmp, wx.T, preferred_element_type=jnp.float32,
+                       precision=precision)
         if normalize:
             crop = (crop * inv_rgb_max - mean[ch]) / std[ch]
         out_ref[0, ch] = crop
@@ -144,7 +152,10 @@ def crop_resize_normalize_pallas(image, centers, scales, out_hw, mean=None,
         _crop_kernel, out_h=out_h, out_w=out_w, h=h, w=w, c=c,
         mean=tuple(float(v) for v in (mean if normalize else (0.0,) * c)),
         std=tuple(float(v) for v in (std if normalize else (1.0,) * c)),
-        inv_rgb_max=1.0 / rgb_max, normalize=normalize)
+        inv_rgb_max=1.0 / rgb_max, normalize=normalize,
+        # same fp32-parity policy as the XLA twin (bit-identical contract)
+        precision=(jax.lax.Precision.HIGHEST
+                   if jnp.dtype(out_dtype) == jnp.float32 else None))
 
     out = pl.pallas_call(
         kernel,

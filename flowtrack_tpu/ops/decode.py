@@ -75,6 +75,11 @@ def blur_heatmaps(heatmaps, kernel_size: int):
     value preserved (the reference rescales so max matches the original)."""
     if kernel_size <= 1:
         return heatmaps
+    if kernel_size % 2 == 0:
+        # the lineage's blur kernels are odd (cv2.GaussianBlur contract);
+        # an even k with symmetric k//2 padding would silently emit
+        # (H+1, W+1) maps and skew the inverse-affine decode
+        raise ValueError(f"blur_kernel must be odd, got {kernel_size}")
     k = kernel_size
     sigma = 0.3 * ((k - 1) * 0.5 - 1) + 0.8
     x = jnp.arange(k, dtype=jnp.float32) - (k - 1) / 2.0

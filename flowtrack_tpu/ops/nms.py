@@ -63,7 +63,11 @@ def greedy_nms_from_matrix(sim, scores, thresh, valid=None):
         alive, keep = state  # alive: not yet kept nor suppressed
         any_alive = jnp.any(alive)
         s = jnp.where(alive, scores, neg_inf)
-        i = jnp.argmax(s)
+        # tie-break on equal scores by HIGHEST index — the host twins and
+        # the reference process argsort()[::-1], whose stable ascending
+        # sort puts the last of equal scores first; plain argmax would
+        # keep a different candidate than nms_boxes_np/oks_nms_np on ties
+        i = s.shape[0] - 1 - jnp.argmax(s[::-1])
         # once nothing is alive the state is a fixed point: keep[i] retains
         # its old value and alive stays all-False.
         keep = keep.at[i].set(keep[i] | any_alive)

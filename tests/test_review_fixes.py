@@ -134,3 +134,116 @@ def test_mpii_mean_excludes_pelvis_thorax(tmp_path, rng):
     preds3 = preds.copy()
     preds3[:, 0] += 1000.0
     assert ds.evaluate(preds3)["Mean"] < 1.0
+
+
+# ---------------------------------------------------------------------------
+# Round-3 whole-package review findings
+# ---------------------------------------------------------------------------
+
+def test_device_nms_tie_order_matches_host():
+    """Equal scores: the host twins process argsort()[::-1] (stable sort
+    -> HIGHEST index first on ties); the device greedy scan must keep the
+    same candidate or the backends disagree on which pose survives."""
+    from flowtrack_tpu.ops.nms import nms_boxes, nms_boxes_np
+
+    # two identical boxes, identical scores -> exactly one survives
+    boxes = np.asarray([[0, 0, 10, 10], [0, 0, 10, 10]], np.float32)
+    scores = np.asarray([0.7, 0.7], np.float32)
+    keep_dev = np.asarray(nms_boxes(jnp.asarray(boxes),
+                                    jnp.asarray(scores), 0.5))
+    keep_host = np.zeros(2, bool)
+    dets = np.concatenate([boxes, scores[:, None]], axis=1)
+    keep_host[nms_boxes_np(dets, 0.5)] = True
+    np.testing.assert_array_equal(keep_dev, keep_host)
+    assert keep_dev.tolist() == [False, True]  # highest index on the tie
+
+
+def test_blur_kernel_must_be_odd():
+    """Even blur kernels would silently emit (H+1, W+1) heatmaps and skew
+    the inverse-affine decode — rejected up front."""
+    import pytest
+
+    from flowtrack_tpu.ops.decode import blur_heatmaps
+
+    hm = jnp.zeros((1, 8, 8, 2))
+    with pytest.raises(ValueError):
+        blur_heatmaps(hm, 4)
+    out = blur_heatmaps(hm, 3)
+    assert out.shape == (1, 8, 8, 2)
+
+
+def test_warp_affine_uint8_matches_float():
+    """Integer images blend in float and round back (cv2 semantics);
+    integer-cast fractional weights would floor to nearest-neighbor."""
+    from flowtrack_tpu.ops.affine import warp_affine
+
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 255, (16, 16, 3)).astype(np.uint8)
+    # pure half-pixel shift: every output is an average of two taps
+    trans = np.asarray([[1.0, 0.0, 0.5], [0.0, 1.0, 0.0]], np.float32)
+    out_u8 = np.asarray(warp_affine(jnp.asarray(img), trans, (16, 16)))
+    out_f = np.asarray(warp_affine(jnp.asarray(img, jnp.float32), trans,
+                                   (16, 16)))
+    assert out_u8.dtype == np.uint8
+    np.testing.assert_array_equal(out_u8, np.rint(out_f).astype(np.uint8))
+    # must actually blend: a checkerboard half-shift is nowhere equal to
+    # either source tap unless the two taps coincide
+    interior = out_f[:, 1:-1]
+    assert not np.allclose(interior, np.floor(interior))
+
+
+def test_fliplr_joints_zeroes_invisible_1d_vis():
+    """joints * joints_vis (reference) must zero invisible joints for the
+    1-D vis layout the dataset actually passes, not only the 2-D one."""
+    from flowtrack_tpu.ops.affine import fliplr_joints
+
+    joints = np.asarray([[10.0, 20.0], [30.0, 40.0]])
+    vis = np.asarray([1, 0])
+    out, out_vis = fliplr_joints(joints, vis, width=100,
+                                 flip_pairs=[(0, 1)])
+    # after the (0,1) swap, slot 0 holds the invisible joint -> zeroed
+    np.testing.assert_array_equal(out_vis, [0, 1])
+    np.testing.assert_array_equal(out[0], [0.0, 0.0])
+    np.testing.assert_array_equal(out[1], [100 - 10 - 1, 20.0])
+
+
+def test_eval_length_mismatches_raise():
+    """Silently-truncating zips over ragged eval inputs would inflate
+    MOTA/mAP/EPE; both evaluators reject them instead."""
+    import pytest
+
+    from flowtrack_tpu.eval.flow_eval import evaluate_flow_pairs
+    from flowtrack_tpu.eval.posetrack_eval import (evaluate_posetrack,
+                                                   evaluate_posetrack_mot)
+
+    fl = np.zeros((4, 4, 2), np.float32)
+    with pytest.raises(ValueError):
+        evaluate_flow_pairs([fl, fl], [fl])
+
+    pose = {"keypoints": np.zeros((17, 3)), "track_id": 0, "score": 1.0,
+            "head_size": 10.0}
+    gt_seqs = [[[pose], [pose]]]       # 1 sequence x 2 frames
+    pred_seqs = [[[pose]]]             # 1 frame -> must raise, not truncate
+    for fn in (evaluate_posetrack, evaluate_posetrack_mot):
+        with pytest.raises(ValueError):
+            fn(gt_seqs, pred_seqs)
+        with pytest.raises(ValueError):
+            fn(gt_seqs, [])
+
+
+def test_flo_io_little_endian():
+    """.flo files are little-endian by spec — the header must be written
+    with explicit byte order so the IO pair is host-endianness-proof."""
+    import io
+    import struct
+
+    from flowtrack_tpu.eval.flow_eval import FLO_MAGIC, write_flo, read_flo
+
+    import tempfile, os
+    with tempfile.TemporaryDirectory() as d:
+        p = os.path.join(d, "x.flo")
+        write_flo(p, np.ones((2, 3, 2), np.float32))
+        raw = open(p, "rb").read()
+        assert struct.unpack("<f", raw[:4])[0] == FLO_MAGIC
+        assert struct.unpack("<ii", raw[4:12]) == (3, 2)
+        np.testing.assert_array_equal(read_flo(p), np.ones((2, 3, 2)))
