@@ -29,7 +29,8 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from flowtrack_tpu.config import ModelConfig
-from flowtrack_tpu.models.layers import max_pool_same_as_torch
+from flowtrack_tpu.models.layers import (_precision_for,
+                                         max_pool_same_as_torch)
 from flowtrack_tpu.models.pose_resnet import RESNET_SPECS
 
 
@@ -106,7 +107,8 @@ class QuantConv(nn.Module):
         if not quantized:
             dt = jnp.dtype(self.compute_dtype)
             y = jax.lax.conv_general_dilated(
-                x.astype(dt), kernel.astype(dt), **conv_kw)
+                x.astype(dt), kernel.astype(dt),
+                precision=_precision_for(dt), **conv_kw)
             return y.astype(jnp.float32) + bias
 
         a_scale = jnp.maximum(amax.value, 1e-6) / 127.0
@@ -210,7 +212,8 @@ class PoseResNetQ(nn.Module):
         pad = (k - 1) // 2
         y = jax.lax.conv_general_dilated(
             x.astype(jnp.float32), kernel, (1, 1), [(pad, pad)] * 2,
-            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            precision=_precision_for(jnp.float32))
         return y + bias
 
 
@@ -267,10 +270,10 @@ def fold_pose_resnet(variables) -> dict:
                           **blk_s["downsample_bn"]})
             put((name, "downsample_conv"), k, b)
 
-    for i in range(3):
+    n_deconv = len([d for d in params
+                    if d.startswith("deconv") and "bn" not in d])
+    for i in range(n_deconv):
         dname = f"deconv{i}"
-        if dname not in params:
-            break
         bn = f"deconv_bn{i}"
         tb = params[dname].get("bias")
         k, b = _fold(params[dname]["kernel"], {**params[bn], **stats[bn]},

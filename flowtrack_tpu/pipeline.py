@@ -59,7 +59,6 @@ class PosePredictor:
         img_h, img_w = cfg.model.image_size
         self.out_hw = (img_h, img_w)
         self.aspect_ratio = img_w / img_h
-        self._jitted = {}
 
         mean = jnp.asarray(IMAGENET_MEAN, jnp.float32)
         std = jnp.asarray(IMAGENET_STD, jnp.float32)
@@ -85,13 +84,10 @@ class PosePredictor:
                                              post_process=post)
             return preds, maxvals, rescore(scores, maxvals, vis_thre)
 
-        self._device_fn = device_fn
-
-    def _get_jit(self, image_shape):
-        key = tuple(image_shape)
-        if key not in self._jitted:
-            self._jitted[key] = jax.jit(self._device_fn)
-        return self._jitted[key]
+        # one jit object is enough: nothing shape-dependent is closed
+        # over, and jax.jit caches per input shape internally (unlike
+        # FlowPredictor, whose net_hw/out_hw ARE shape-derived closures)
+        self._fn = jax.jit(device_fn)
 
     def __call__(self, image: np.ndarray, boxes_xywh: np.ndarray,
                  scores: np.ndarray):
@@ -111,7 +107,7 @@ class PosePredictor:
         scales = np.concatenate([scales, np.repeat(scales[-1:], pad, 0)])
         sc = np.concatenate([np.asarray(scores, np.float64),
                              np.zeros(pad)])
-        fn = self._get_jit(image.shape)
+        fn = self._fn
         preds, maxvals, rescored = fn(
             self.variables, jnp.asarray(image),
             jnp.asarray(centers, jnp.float32),

@@ -163,7 +163,7 @@ class ClipTracker:
             return preds, maxvals, scores
 
         def recovery_pass(pose_vars, frames, preds, valid, scores,
-                          det_boxes, flows, frame_valid, budget_frames,
+                          det_boxes, flows, frame_valid, real_frames,
                           seed):
             """Stages 3a/3b (module docstring): emit flow-propagated boxes
             for OKS-unmatched tracks, pose the clip-wide top-budget boxes in
@@ -179,17 +179,20 @@ class ClipTracker:
             without the miss-age increment (the previous clip already
             counted that physical frame's miss).
 
-            ``budget_frames`` (static) is the REAL frame count: a
-            frame-sharded ragged clip is padded before tracing, and sizing
-            the budget from the padded count would give the sharded run
-            MORE recovery crops than the unsharded one (review finding).
+            ``real_frames`` (TRACED int32 scalar, or None for a full
+            clip) is the REAL frame count of a padded (ragged) clip: the
+            static top-k is sized from the padded shape, but selections
+            ranked past the real-count budget are invalidated, so a
+            padded run poses exactly the crops an unpadded trace would
+            (sizing the budget from the padded count would give it MORE
+            recovery crops — review finding). Traced, not static, so all
+            ragged lengths share ONE compiled program.
             """
             f, p = valid.shape
             r = tcfg.max_recovered
             t_slots = p + r
-            fb = budget_frames if budget_frames is not None else f
             budget = min(f * r,
-                         max(r, int(np.ceil(fb * tcfg.recover_budget))))
+                         max(r, int(np.ceil(f * tcfg.recover_budget))))
             neg = jnp.asarray(-jnp.inf, jnp.float32)
 
             def gen_core(carry, dj, dv, ds, dbox, prop, fv_t, inc_t):
@@ -246,6 +249,16 @@ class ClipTracker:
                                rec_s.reshape(-1).astype(jnp.float32), neg)
             g_s, g_idx = jax.lax.top_k(flat_s, budget)
             sel_valid = jnp.isfinite(g_s)
+            if real_frames is not None:
+                # effective budget from the REAL frame count: top_k is
+                # sorted descending, so masking by rank reproduces the
+                # unpadded run's smaller-k selection exactly
+                eff = jnp.minimum(
+                    f * r,
+                    jnp.maximum(r, jnp.ceil(
+                        real_frames.astype(jnp.float32)
+                        * tcfg.recover_budget).astype(jnp.int32)))
+                sel_valid &= jnp.arange(budget) < eff
             sel_box = rec_box.reshape(-1, 4)[g_idx]
             sel_score = rec_s.reshape(-1)[g_idx]
             sel_frame = g_idx // r
@@ -260,10 +273,16 @@ class ClipTracker:
                 pose_vars, crops, sel_c, sel_sc, sel_score)
             valid2 = sel_valid & (scores2 >= tcfg.pose_score_thre)
 
-            # scatter back into the static (F, R) recovery slots
-            rec_preds = jnp.zeros((f * r, k, 2)).at[g_idx].set(preds2)
-            rec_maxvals = jnp.zeros((f * r, k)).at[g_idx].set(maxvals2)
-            rec_scores = jnp.zeros((f * r,)).at[g_idx].set(scores2)
+            # scatter back into the static (F, R) recovery slots; invalid
+            # selections (rank/finite-masked) write ZEROS so the padded
+            # and unpadded programs (different static top-k widths)
+            # produce identical arrays, not just identical valid masks
+            rec_preds = jnp.zeros((f * r, k, 2)).at[g_idx].set(
+                jnp.where(sel_valid[:, None, None], preds2, 0.0))
+            rec_maxvals = jnp.zeros((f * r, k)).at[g_idx].set(
+                jnp.where(sel_valid[:, None], maxvals2, 0.0))
+            rec_scores = jnp.zeros((f * r,)).at[g_idx].set(
+                jnp.where(sel_valid, scores2, 0.0))
             rec_valid = jnp.zeros((f * r,), bool).at[g_idx].set(valid2)
             return (rec_preds.reshape(f, r, k, 2),
                     rec_maxvals.reshape(f, r, k),
@@ -274,7 +293,7 @@ class ClipTracker:
         def clip_fn(pose_vars, flow_vars, frames, centers, scales,
                     det_scores, det_valid, det_boxes, frame_valid,
                     seed_joints, seed_valid, seed_scores, seed_ages,
-                    seed_ids, next_id0, budget_frames=None):
+                    seed_ids, next_id0, real_frames=None):
             f, h, w, _ = frames.shape
             p = centers.shape[1]
 
@@ -325,7 +344,7 @@ class ClipTracker:
                 rec_preds, rec_maxvals, rec_scores, rec_valid, rec_ages = \
                     recovery_pass(pose_vars, frames, preds, valid, scores,
                                   det_boxes, flows, frame_valid,
-                                  budget_frames, rec_seed)
+                                  real_frames, rec_seed)
                 preds = jnp.concatenate([preds, rec_preds], axis=1)
                 maxvals = jnp.concatenate([maxvals, rec_maxvals], axis=1)
                 scores = jnp.concatenate([scores, rec_scores], axis=1)
@@ -361,15 +380,18 @@ class ClipTracker:
                 step, carry0, (preds[1:], valid[1:], flows))
             all_ids = jnp.concatenate([ids0[None], ids_rest], axis=0)
             # final live-track state = next clip's seed (global ids); for a
-            # padded (frame-sharded ragged) clip the last REAL frame is
-            # budget_frames - 1, not the padded tail (whose frames are all
-            # invalid and would drop every live track)
-            last = (budget_frames if budget_frames is not None else f) - 1
+            # padded (ragged/frame-sharded) clip the last REAL frame is
+            # real_frames - 1 (traced gather), not the padded tail (whose
+            # frames are all invalid and would drop every live track)
+            last = (real_frames if real_frames is not None else f) - 1
             seed_out = (preds[last], valid[last], scores[last], ages[last],
                         jnp.where(valid[last], all_ids[last], 0), nid_fin)
             return preds, maxvals, scores, all_ids, valid, seed_out
 
-        self._clip_fn = jax.jit(clip_fn, static_argnames="budget_frames")
+        # real_frames is a TRACED kwarg (omitted for full clips): every
+        # ragged length shares one compiled "padded" program instead of
+        # recompiling per distinct real count
+        self._clip_fn = jax.jit(clip_fn)
         # clips are the data-parallel axis: vmap over a leading clip dim;
         # shard it across the mesh and XLA runs one clip per device group
         # (the multi-chip serving layout — SURVEY.md section 6.8)
@@ -444,8 +466,11 @@ class ClipTracker:
         recovery_pass)."""
         if seed is None:
             seed = self.empty_seed()
+        kw = {}
+        if budget_frames is not None:
+            kw["real_frames"] = jnp.asarray(budget_frames, jnp.int32)
         return self._clip_fn(self.pose_vars, self.flow_vars, *device_args,
-                             *seed, budget_frames=budget_frames)
+                             *seed, **kw)
 
     @staticmethod
     def to_host(device_out):

@@ -100,6 +100,26 @@ def greedy_match(sim, thr, row_valid=None, col_valid=None):
     return assign
 
 
+@functools.partial(jax.jit, static_argnames=("expand",))
+def propagate_and_boxes(track_joints, flow, expand: float):
+    """Fused per-frame device step for the streaming tracker: propagate
+    padded track poses through the flow and derive their expanded boxes in
+    ONE jitted program (eager dispatch paid a retrace + two host round
+    trips per frame)."""
+    prop = propagate_poses(track_joints, flow)
+    return prop, boxes_from_poses(prop, expand)
+
+
+@jax.jit
+def nms_boxes_padded(xyxy, scores, valid, thresh):
+    """Jitted greedy IoU NMS over a PADDED candidate set (the streaming
+    tracker buckets per-frame counts to max_persons multiples so the scan
+    compiles once per bucket instead of per distinct N; thresh is traced).
+    Padding is greedy-order-safe: invalid entries read -inf."""
+    return greedy_nms_from_matrix(iou_matrix(xyxy, xyxy), scores, thresh,
+                                  valid)
+
+
 @functools.partial(jax.jit, static_argnames=("track_thr",))
 def match_propagated(prop_joints, track_valid, cand_joints, cand_valid,
                      track_thr: float = 0.5):
@@ -178,13 +198,22 @@ class FlowTracker:
         # --- propagated boxes from surviving tracks
         prop_boxes_xywh = np.zeros((0, 4), np.float32)
         prop_scores = np.zeros((0,), np.float32)
-        track_joints = np.zeros((0, 17, 2), np.float32)
+        k = self.cfg.model.num_joints
+        track_joints = np.zeros((0, k, 2), np.float32)
         if self.tracks and flow is not None:
             track_joints = np.stack([t.joints for t in self.tracks])
-            prop = np.asarray(propagate_poses(
-                jnp.asarray(track_joints), jnp.asarray(flow)))
-            pb = np.asarray(boxes_from_poses(jnp.asarray(prop),
-                                             tcfg.box_expand))
+            # pad the track dim to a max_persons bucket so the jitted
+            # propagate+boxes program compiles once per bucket, not per
+            # track count
+            q = tcfg.max_persons
+            m = len(self.tracks)
+            mpad = -(-m // q) * q
+            tj = np.zeros((mpad, k, 2), np.float32)
+            tj[:m] = track_joints
+            prop_d, pb_d = propagate_and_boxes(
+                jnp.asarray(tj), jnp.asarray(flow), tcfg.box_expand)
+            prop = np.asarray(prop_d)[:m]
+            pb = np.asarray(pb_d)[:m]
             prop_boxes_xywh = np.concatenate(
                 [pb[:, :2], pb[:, 2:] - pb[:, :2]], axis=1)
             prop_scores = np.array([t.score for t in self.tracks],
@@ -200,9 +229,20 @@ class FlowTracker:
         if len(boxes) and tcfg.box_nms_thre < 1.0:
             xyxy = np.concatenate(
                 [boxes[:, :2], boxes[:, :2] + boxes[:, 2:]], axis=1)
-            keep = np.asarray(greedy_nms_from_matrix(
-                iou_matrix(jnp.asarray(xyxy), jnp.asarray(xyxy)),
-                jnp.asarray(scores), tcfg.box_nms_thre))
+            # bucket the candidate count (see propagate_and_boxes): one
+            # compiled NMS scan per bucket instead of per distinct N
+            q = tcfg.max_persons
+            n = len(boxes)
+            npad = -(-n // q) * q
+            bx = np.zeros((npad, 4), np.float32)
+            bx[:n] = xyxy
+            sc = np.zeros((npad,), np.float32)
+            sc[:n] = scores
+            nv = np.zeros((npad,), bool)
+            nv[:n] = True
+            keep = np.asarray(nms_boxes_padded(
+                jnp.asarray(bx), jnp.asarray(sc), jnp.asarray(nv),
+                tcfg.box_nms_thre))[:n]
             boxes, scores = boxes[keep], scores[keep]
 
         # --- pose on the union
@@ -214,8 +254,8 @@ class FlowTracker:
             ok = rescored >= tcfg.pose_score_thre
             joints, maxvals, rescored = joints[ok], maxvals[ok], rescored[ok]
         else:
-            joints = np.zeros((0, 17, 2), np.float32)
-            maxvals = np.zeros((0, 17), np.float32)
+            joints = np.zeros((0, k, 2), np.float32)
+            maxvals = np.zeros((0, k), np.float32)
             rescored = np.zeros((0,), np.float32)
 
         # --- greedy OKS id assignment against flow-propagated tracks
@@ -235,11 +275,11 @@ class FlowTracker:
             pmax = -(-max(q, len(self.tracks), len(joints)) // q) * q
             # reuse the propagation already computed for the prop boxes —
             # no second flow_gather per frame
-            tj = np.zeros((pmax, 17, 2), np.float32)
+            tj = np.zeros((pmax, k, 2), np.float32)
             tj[: len(prop)] = prop
             tv = np.zeros((pmax,), bool)
             tv[: len(self.tracks)] = True
-            cj = np.zeros((pmax, 17, 2), np.float32)
+            cj = np.zeros((pmax, k, 2), np.float32)
             cj[: len(joints)] = joints
             cv = np.zeros((pmax,), bool)
             cv[: len(joints)] = True

@@ -261,10 +261,10 @@ def track_video_clips(tracker, frames: np.ndarray, det_boxes, det_scores,
             # shape so EVERY clip reuses one compiled program — a
             # distinct frame count would recompile (minutes on TPU).
             # Padded frames replicate the last real frame and carry no
-            # valid detections; frame_valid masks them out of recovery.
-            # Real-frame results are identical to an unpadded trace (the
-            # larger static recovery budget only adds -inf top-k slots),
-            # and the tail clip's seed_out is never consumed.
+            # valid detections; frame_valid masks them out of recovery,
+            # and budget_frames (traced) pins the recovery budget and
+            # seed extraction to the REAL count, so results match an
+            # unpadded trace exactly — including under budget pressure.
             pad = clip_len - real
             window = np.concatenate(
                 [window, np.repeat(window[-1:], pad, axis=0)])
@@ -274,7 +274,8 @@ def track_video_clips(tracker, frames: np.ndarray, det_boxes, det_scores,
         db, dsc, dv = pad_detections(boxes, scores, max_persons)
         return idx, tracker.run_prepared(
             tracker.prepare(window, db, dsc, dv, frame_valid=frame_valid,
-                            frame_offset=idx[0]), seed=seed)
+                            frame_offset=idx[0]),
+            budget_frames=real if real < clip_len else None, seed=seed)
 
     spans = clip_spans(n, clip_len)
     pending = dispatch(spans[0], None)

@@ -669,3 +669,57 @@ def test_track_clip_public_chaining_api():
     for t in range(4):
         live = out2["ids"][t][out2["valid"][t]].tolist()
         assert live == [id1], (t, out2["ids"], out2["valid"])
+
+
+def test_padded_clip_matches_unpadded_under_budget_pressure():
+    """A ragged clip padded to a larger static shape (fixed-program path,
+    utils/video tail padding) must reproduce the unpadded trace EXACTLY —
+    including when recovery candidates exceed the real-frame budget: the
+    padded program's larger static top-k is rank-masked back to
+    ceil(real * recover_budget) (review finding: sizing the budget from
+    the padded count granted extra recovery crops)."""
+    cfg = replace(make_cfg(),
+                  track=replace(make_cfg().track, max_persons=4,
+                                pose_score_thre=0.1, track_oks_thre=0.3,
+                                max_recovered=2, recover_budget=0.5,
+                                max_miss_age=3))
+    tracker = ClipTracker(cfg, StubPose(), {}, StubFlow(), {})
+
+    f, fpad = 5, 8
+    frames = np.zeros((f, 128, 160, 3), np.float32)
+    boxes, scores = [], []
+    for t in range(f):
+        a = (30 + VEL[0] * t, 40 + VEL[1] * t)
+        b = (90 + VEL[0] * t, 70 + VEL[1] * t)
+        if t in (2, 3):     # BOTH persons dropped -> 4 recovery candidates
+            boxes.append(np.zeros((0, 4), np.float32))
+            scores.append(np.zeros((0,), np.float32))
+        else:
+            boxes.append([[a[0] - 12, a[1] - 12, 24, 24],
+                          [b[0] - 12, b[1] - 12, 24, 24]])
+            scores.append([0.9, 0.85])
+    db, dsc, dv = pad_detections(boxes, scores, cfg.track.max_persons)
+
+    want = tracker.to_host(tracker.run_prepared(
+        tracker.prepare(frames, db, dsc, dv)))
+    # budget pressure is real: 4 candidates, budget ceil(5*0.5)=3
+    n_recovered = int(want["valid"][:, cfg.track.max_persons:].sum())
+    assert n_recovered == 3, n_recovered
+
+    pad = fpad - f
+    frames_p = np.concatenate([frames, np.repeat(frames[-1:], pad, 0)])
+    db_p = np.concatenate([db, np.zeros((pad,) + db.shape[1:], db.dtype)])
+    dsc_p = np.concatenate([dsc, np.zeros((pad,) + dsc.shape[1:])])
+    dv_p = np.concatenate([dv, np.zeros((pad,) + dv.shape[1:], bool)])
+    fv = np.arange(fpad) < f
+    out_p, seed_p = tracker.run_prepared(
+        tracker.prepare(frames_p, db_p, dsc_p, dv_p, fv),
+        budget_frames=f), None
+    got = tracker.to_host(out_p)
+    for key in ("joints", "maxvals", "scores", "ids", "valid"):
+        np.testing.assert_array_equal(got[key][:f], want[key], err_msg=key)
+    # seed (the next clip's carry) extracted from the last REAL frame
+    want_seed = tracker.run_prepared(
+        tracker.prepare(frames, db, dsc, dv))[5]
+    for a, b in zip(want_seed, out_p[5]):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -73,3 +73,26 @@ def test_flow_overfit_constant_flow(rng):
         state, m = step(state, batch)
         epes.append(float(m["epe"]))
     assert epes[-1] < 0.5 * epes[0], epes[::15]
+
+
+def test_cascade_train_step_runs(rng):
+    """Cascade variants return ONE full-res flow (no pyramid); the train
+    step must fine-tune them on plain EPE instead of crashing on the
+    pyramid unpack (review finding)."""
+    from flowtrack_tpu.models.flownet import FlowNet2CSS
+
+    model = FlowNet2CSS(stages=1, dtype=jnp.float32)  # flownet2_cs
+    x = rng.normal(0, 0.3, (1, 64, 64, 6)).astype(np.float32)
+    gt = np.zeros((1, 64, 64, 2), np.float32)
+    gt[..., 0] = 2.0
+    batch = {"input": x, "flow": gt}
+
+    cfg = Config()
+    state = create_train_state(model, cfg, jax.random.PRNGKey(1),
+                               jnp.asarray(x))
+    state2, m = jax.jit(flow_train_step)(state, batch)
+    assert np.isfinite(float(m["loss"])) and np.isfinite(float(m["epe"]))
+    # parameters actually moved (gradients flowed through the cascade)
+    before = jax.tree_util.tree_leaves(state.params)[0]
+    after = jax.tree_util.tree_leaves(state2.params)[0]
+    assert not np.allclose(np.asarray(before), np.asarray(after))
