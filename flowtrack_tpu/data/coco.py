@@ -62,7 +62,15 @@ class COCODataset(PoseDataset):
                 if ann.get("iscrowd", 0):
                     continue
                 kp = np.array(ann.get("keypoints", []), np.float64)
-                if kp.size == 0 or ann.get("num_keypoints", 0) == 0:
+                if kp.size == 0:
+                    continue
+                # PoseTrack-style jsons often omit num_keypoints; fall back
+                # to the count of labeled joints (v > 0) instead of silently
+                # dropping every annotation (coco_io has the same fallback)
+                nk = ann.get("num_keypoints")
+                if nk is None:
+                    nk = int(np.sum(kp.reshape(-1, 3)[:, 2] > 0))
+                if nk == 0:
                     continue
                 # clean bbox clamp (reference: x1y1 clip to image, require
                 # positive area)

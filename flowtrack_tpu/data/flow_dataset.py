@@ -29,7 +29,7 @@ import numpy as np
 from flowtrack_tpu.data.pose_dataset import load_image
 from flowtrack_tpu.eval.flow_eval import read_flo
 
-_IMG_EXTS = (".png", ".jpg", ".jpeg", ".bmp", ".ppm")
+from flowtrack_tpu.utils.video import IMG_EXTS as _IMG_EXTS
 
 
 def _discover_triplets(root: str) -> List[Tuple[str, str, str]]:

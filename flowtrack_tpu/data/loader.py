@@ -40,6 +40,7 @@ class BatchLoader:
         self.pad_to_batch = pad_to_batch
         self.rng = np.random.default_rng(seed)
         self.prefetch_batches = prefetch_batches
+        self._epoch = 0
 
     def __len__(self):
         n = len(self.dataset)
@@ -71,6 +72,24 @@ class BatchLoader:
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
         q: queue.Queue = queue.Queue(maxsize=self.prefetch_batches)
         sentinel = object()
+        stop = threading.Event()
+        # advance the dataset's per-epoch augmentation stream (each item
+        # derives a thread-safe Generator from (seed, epoch, idx))
+        if hasattr(self.dataset, "set_epoch"):
+            self.dataset.set_epoch(self._epoch)
+        self._epoch += 1
+
+        def bounded_put(item):
+            # a put that gives up if the consumer abandoned iteration —
+            # otherwise the producer blocks forever on the full queue and
+            # leaks a thread (+ its pool) per abandoned epoch
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
 
         def producer():
             # a failing __getitem__/collate must surface in the consumer,
@@ -79,23 +98,33 @@ class BatchLoader:
             with ThreadPoolExecutor(self.num_workers) as pool:
                 try:
                     for chunk in self._batch_indices():
-                        q.put(self._make_batch(pool, chunk))
+                        if stop.is_set():
+                            return
+                        if not bounded_put(self._make_batch(pool, chunk)):
+                            return
                 except BaseException as e:  # noqa: BLE001 - relayed below
-                    q.put(e)
+                    bounded_put(e)
                 finally:
-                    q.put(sentinel)
+                    bounded_put(sentinel)
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()
-        while True:
-            item = q.get()
-            if item is sentinel:
-                break
-            if isinstance(item, BaseException):
-                t.join()
-                raise item
-            yield item
-        t.join()
+        try:
+            while True:
+                item = q.get()
+                if item is sentinel:
+                    break
+                if isinstance(item, BaseException):
+                    raise item
+                yield item
+        finally:
+            stop.set()
+            while True:  # unblock a producer waiting on a full queue
+                try:
+                    q.get_nowait()
+                except queue.Empty:
+                    break
+            t.join()
 
 
 def device_prefetch(iterator, sharding=None, size: int = 2):

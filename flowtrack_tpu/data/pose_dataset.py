@@ -92,21 +92,26 @@ class PoseDataset:
         self.aspect_ratio = self.image_size[0] / self.image_size[1]
         self.mean = np.array(IMAGENET_MEAN, np.float32)
         self.std = np.array(IMAGENET_STD, np.float32)
-        self.rng = np.random.default_rng(
-            seed if seed is not None else cfg.train.seed)
+        self._seed = seed if seed is not None else cfg.train.seed
+        self._epoch = 0
         self.db: List[dict] = []
+
+    def set_epoch(self, epoch: int):
+        """Advance the augmentation stream (called by BatchLoader per epoch
+        so each epoch draws fresh, still-reproducible augmentations)."""
+        self._epoch = int(epoch)
 
     def __len__(self):
         return len(self.db)
 
     # -- augmentation ------------------------------------------------------
 
-    def _augment(self, center, scale):
+    def _augment(self, rng, center, scale):
         sf = self.cfg.train.scale_factor
         rf = self.cfg.train.rot_factor
-        scale = scale * np.clip(self.rng.normal() * sf + 1, 1 - sf, 1 + sf)
-        rot = (np.clip(self.rng.normal() * rf, -rf * 2, rf * 2)
-               if self.rng.random() <= 0.6 else 0.0)
+        scale = scale * np.clip(rng.normal() * sf + 1, 1 - sf, 1 + sf)
+        rot = (np.clip(rng.normal() * rf, -rf * 2, rf * 2)
+               if rng.random() <= 0.6 else 0.0)
         return scale, rot
 
     def __getitem__(self, idx: int):
@@ -120,8 +125,13 @@ class PoseDataset:
         r = 0.0
 
         if self.is_train:
-            s, r = self._augment(c, s)
-            if self.rng.random() <= self.cfg.train.flip_prob:
+            # Per-item Generator seeded by (seed, epoch, idx): thread-safe
+            # under BatchLoader's worker pool (a shared np Generator is NOT;
+            # concurrent draws corrupt its state) and reproducible
+            # independent of worker scheduling.
+            rng = np.random.default_rng((self._seed, self._epoch, idx))
+            s, r = self._augment(rng, c, s)
+            if rng.random() <= self.cfg.train.flip_prob:
                 img = img[:, ::-1, :]
                 joints, joints_vis = fliplr_joints(
                     joints, joints_vis, img.shape[1], self.flip_pairs)

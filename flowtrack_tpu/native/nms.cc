@@ -25,8 +25,13 @@ int cpu_nms(const float* dets, const float* scores, int n, float thresh,
             int* keep) {
   std::vector<int> order(n);
   std::iota(order.begin(), order.end(), 0);
-  std::stable_sort(order.begin(), order.end(),
-                   [&](int a, int b) { return scores[a] > scores[b]; });
+  // Ties break by HIGHEST index first — the convention of the numpy twin's
+  // argsort()[::-1] (stable ascending sort, reversed) and the device scan
+  // (ops/nms.py). A plain descending stable_sort would keep the LOWEST
+  // index and survive a different candidate on equal scores.
+  std::sort(order.begin(), order.end(), [&](int a, int b) {
+    return scores[a] != scores[b] ? scores[a] > scores[b] : a > b;
+  });
 
   std::vector<float> areas(n);
   for (int i = 0; i < n; ++i) {
@@ -66,8 +71,10 @@ int cpu_oks_nms(const float* kpts, const float* scores, const float* areas,
                 float in_vis_thre, int use_vis_thre, int* keep) {
   std::vector<int> order(n);
   std::iota(order.begin(), order.end(), 0);
-  std::stable_sort(order.begin(), order.end(),
-                   [&](int a, int b) { return scores[a] > scores[b]; });
+  // Tie convention: highest index first (see cpu_nms above).
+  std::sort(order.begin(), order.end(), [&](int a, int b) {
+    return scores[a] != scores[b] ? scores[a] > scores[b] : a > b;
+  });
 
   std::vector<float> vars(k);
   for (int j = 0; j < k; ++j) vars[j] = 4.0f * sigmas[j] * sigmas[j];

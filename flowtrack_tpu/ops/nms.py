@@ -63,10 +63,12 @@ def greedy_nms_from_matrix(sim, scores, thresh, valid=None):
         alive, keep = state  # alive: not yet kept nor suppressed
         any_alive = jnp.any(alive)
         s = jnp.where(alive, scores, neg_inf)
-        # tie-break on equal scores by HIGHEST index — the host twins and
-        # the reference process argsort()[::-1], whose stable ascending
-        # sort puts the last of equal scores first; plain argmax would
-        # keep a different candidate than nms_boxes_np/oks_nms_np on ties
+        # tie-break on equal scores by HIGHEST index — the host twins pin
+        # argsort(kind="stable")[::-1], whose stable ascending sort puts
+        # the last of equal scores first (the reference's plain argsort
+        # is introsort: ARBITRARY on ties; we determinize so the numpy,
+        # C++ and device backends all keep the same candidate); plain
+        # argmax would keep the lowest index instead
         i = s.shape[0] - 1 - jnp.argmax(s[::-1])
         # once nothing is alive the state is a fixed point: keep[i] retains
         # its old value and alive stays all-False.
@@ -109,7 +111,7 @@ def oks_nms_np(kpts_list, thresh, sigmas=None, in_vis_thre=None):
     scores = np.array([k["score"] for k in kpts_list])
     kpts = np.array([np.asarray(k["keypoints"]).reshape(-1) for k in kpts_list])
     areas = np.array([k["area"] for k in kpts_list])
-    order = scores.argsort()[::-1]
+    order = scores.argsort(kind="stable")[::-1]
     keep = []
     while order.size > 0:
         i = order[0]
@@ -129,7 +131,7 @@ def nms_boxes_np(dets, thresh):
         return []
     x1, y1, x2, y2, scores = [dets[:, i] for i in range(5)]
     areas = (x2 - x1 + 1) * (y2 - y1 + 1)
-    order = scores.argsort()[::-1]
+    order = scores.argsort(kind="stable")[::-1]
     keep = []
     while order.size > 0:
         i = order[0]
@@ -154,7 +156,7 @@ def soft_oks_nms_np(kpts_list, thresh, max_dets=20, sigmas=None,
     scores = np.array([k["score"] for k in kpts_list], dtype=np.float64)
     kpts = np.array([np.asarray(k["keypoints"]).reshape(-1) for k in kpts_list])
     areas = np.array([k["area"] for k in kpts_list])
-    order = scores.argsort()[::-1]
+    order = scores.argsort(kind="stable")[::-1]
     scores = scores[order]
     keep = np.zeros(max_dets, dtype=np.intp)
     keep_cnt = 0
@@ -166,7 +168,7 @@ def soft_oks_nms_np(kpts_list, thresh, max_dets=20, sigmas=None,
         sc = scores[1:] * np.exp(-(ious ** 2) / thresh)
         keep[keep_cnt] = i
         keep_cnt += 1
-        resort = sc.argsort()[::-1]
+        resort = sc.argsort(kind="stable")[::-1]
         order = order[resort]
         scores = sc[resort]
     return list(keep[:keep_cnt]), None

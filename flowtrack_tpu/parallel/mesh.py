@@ -28,9 +28,13 @@ def make_mesh(num_devices: int = 0, axis: str = DATA_AXIS,
     return Mesh(np.asarray(devices), (axis,))
 
 
-def batch_sharding(mesh: Mesh, axis: str = DATA_AXIS) -> NamedSharding:
-    """Shard the leading (batch) dim across the mesh."""
-    return NamedSharding(mesh, P(axis))
+def batch_sharding(mesh: Mesh, axis: Optional[str] = None) -> NamedSharding:
+    """Shard the leading (batch) dim across the mesh.
+
+    ``axis=None`` uses the mesh's own first axis name, so meshes built with
+    a non-default ``cfg.mesh.data_axis`` work without repeating the name."""
+    return NamedSharding(mesh, P(axis if axis is not None
+                                 else mesh.axis_names[0]))
 
 
 def replicated(mesh: Mesh) -> NamedSharding:
@@ -42,7 +46,7 @@ def pad_to_multiple(arr, multiple: int, axis: int = 0):
 
     Sharded batches must divide the mesh size; ragged final batches are
     padded and masked downstream (SURVEY.md section 8 hard part (d))."""
-    n = arr.shape[0]
+    n = arr.shape[axis]
     rem = (-n) % multiple
     if rem == 0:
         return arr, n
@@ -51,7 +55,7 @@ def pad_to_multiple(arr, multiple: int, axis: int = 0):
     return np.pad(arr, pad), n
 
 
-def shard_batch(mesh: Mesh, batch, axis: str = DATA_AXIS):
+def shard_batch(mesh: Mesh, batch, axis: Optional[str] = None):
     """Device-put a pytree of host arrays with the batch dim sharded."""
     sharding = batch_sharding(mesh, axis)
     return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)

@@ -36,7 +36,17 @@ def annotate(name: str):
 
 
 class StageTimer:
-    """Accumulate wall-time per named stage; device-sync aware."""
+    """Accumulate wall-time per named stage; device-sync aware.
+
+    With ``sync=True`` the stage blocks until the device work it dispatched
+    has actually finished, so the stage is charged its real cost instead of
+    the ~0 ms async-dispatch time. The context manager yields a list: append
+    the stage's device outputs to it for a precise ``block_until_ready``
+    sync (``with t.stage("pose") as out: out.append(f(x))``). If nothing is
+    appended, a trivial program is enqueued and awaited — TPU executes
+    programs in order per device, so that drains everything dispatched
+    before it. (``jax.effects_barrier()`` is NOT a device sync: it only
+    awaits effect tokens, which pure jitted programs never create.)"""
 
     def __init__(self, sync: bool = False):
         self.sync = sync
@@ -45,11 +55,16 @@ class StageTimer:
 
     @contextlib.contextmanager
     def stage(self, name: str):
+        outputs: list = []
         t0 = time.perf_counter()
-        yield
+        yield outputs
         if self.sync:
-            # drain the device queue so the stage is charged its real cost
-            jax.effects_barrier()
+            if outputs:
+                jax.block_until_ready(outputs)
+            else:
+                import jax.numpy as jnp
+
+                jax.block_until_ready(jnp.zeros(()) + 0.0)
         self.totals[name] += time.perf_counter() - t0
         self.counts[name] += 1
 

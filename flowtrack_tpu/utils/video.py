@@ -26,6 +26,10 @@ import numpy as np
 
 from flowtrack_tpu.ops.oks import oks_iou_np
 
+# canonical frame-image extension list (shared by data.flow_dataset and
+# tools/eval_flow.py — keep one source so directory scans agree)
+IMG_EXTS = (".png", ".jpg", ".jpeg", ".bmp", ".ppm")
+
 
 def iter_video_frames(path: str) -> Iterator[np.ndarray]:
     """RGB frames from a video file (cv2) or a directory of images."""
@@ -169,7 +173,7 @@ def frame_paths(directory: str) -> List[str]:
     directory convention, exposed for lazy access)."""
     return [os.path.join(directory, name)
             for name in sorted(os.listdir(directory))
-            if name.lower().endswith((".png", ".jpg", ".jpeg", ".bmp"))]
+            if name.lower().endswith(IMG_EXTS)]
 
 
 def clip_spans(n_frames: int, clip_len: int) -> List[range]:

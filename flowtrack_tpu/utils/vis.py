@@ -74,11 +74,11 @@ def save_debug_images(crops, heatmaps, out_dir, prefix="val", mean=None,
     heatmaps: (N, h, w, K)."""
     import os
 
+    from flowtrack_tpu.config import IMAGENET_MEAN, IMAGENET_STD
+
     os.makedirs(out_dir, exist_ok=True)
-    mean = np.asarray([0.485, 0.456, 0.406] if mean is None else mean,
-                      np.float32)
-    std = np.asarray([0.229, 0.224, 0.225] if std is None else std,
-                     np.float32)
+    mean = np.asarray(IMAGENET_MEAN if mean is None else mean, np.float32)
+    std = np.asarray(IMAGENET_STD if std is None else std, np.float32)
     crops = np.asarray(crops, np.float32)
     heatmaps = np.asarray(heatmaps, np.float32)
     stride = crops.shape[1] / heatmaps.shape[1]
@@ -139,7 +139,9 @@ def flow_to_color(flow, max_flow=None):
     k1 = (k0 + 1) % ncols
     f = (fk - k0)[..., None]
     col = (1 - f) * _WHEEL[k0] / 255.0 + f * _WHEEL[k1] / 255.0
-    col = 1 - rad[..., None] * (1 - col)  # saturate by magnitude
+    # saturate by magnitude; an explicit max_flow below the true magnitude
+    # drives col negative, which would wrap under the uint8 cast — clip
+    col = np.clip(1 - rad[..., None] * (1 - col), 0.0, 1.0)
     return (col * 255).astype(np.uint8)
 
 

@@ -53,3 +53,36 @@ def test_cpu_oks_nms_matches_numpy(rng):
             got = native.cpu_oks_nms(kl, thr, in_vis_thre=vis)
             want = oks_nms_np(kl, thr, in_vis_thre=vis)
             assert got == list(want), f"trial {trial} thr {thr} vis {vis}"
+
+
+def test_cpu_nms_tie_order_matches_numpy():
+    """Equal scores: numpy's argsort()[::-1] keeps the HIGHEST index first;
+    the C++ sort must use the same tie-break or a different candidate
+    survives depending on which backend is available."""
+    boxes = np.asarray([[0, 0, 10, 10, 0.7],
+                        [0, 0, 10, 10, 0.7],
+                        [50, 50, 60, 60, 0.7]], np.float32)
+    got = native.cpu_nms(boxes, 0.5)
+    want = list(nms_boxes_np(boxes, 0.5))
+    assert got == want
+    assert got[0] == 2 or got[0] == 1  # ordering by (score desc, idx desc)
+    assert 0 not in got  # the lower-index duplicate is suppressed
+
+
+def test_cpu_nms_quantized_scores_match_numpy(rng):
+    """Randomized dets with heavily quantized scores (many exact ties)."""
+    for trial in range(5):
+        dets = random_dets(rng)
+        dets[:, 4] = np.round(dets[:, 4] * 4) / 4  # scores in {0,.25,.5,.75,1}
+        for thr in (0.3, 0.5):
+            assert native.cpu_nms(dets, thr) == list(nms_boxes_np(dets, thr))
+
+
+def test_cpu_oks_nms_quantized_scores_match_numpy(rng):
+    kl = make_kpts_list(rng)
+    for item in kl:
+        item["score"] = round(item["score"] * 3) / 3  # force exact ties
+    for thr in (0.5, 0.9):
+        got = native.cpu_oks_nms(kl, thr)
+        want = list(oks_nms_np(kl, thr))
+        assert got == want

@@ -1,9 +1,19 @@
 """Regression tests for the round-1 code-review findings."""
 
+import os
+
 import numpy as np
 import jax.numpy as jnp
+import pytest
 
 from flowtrack_tpu.models.flownet import postprocess_flow
+
+
+@pytest.fixture(scope="module")
+def coco_root(tmp_path_factory):
+    from tests.fixtures import make_coco_fixture
+
+    return make_coco_fixture(tmp_path_factory.mktemp("coco_rf"))
 
 
 class TestPostprocessFlow:
@@ -247,3 +257,149 @@ def test_flo_io_little_endian():
         assert struct.unpack("<f", raw[:4])[0] == FLO_MAGIC
         assert struct.unpack("<ii", raw[4:12]) == (3, 2)
         np.testing.assert_array_equal(read_flo(p), np.ones((2, 3, 2)))
+
+
+# Round-3 pass-3 review findings (data / utils / config / parallel / tools)
+# ---------------------------------------------------------------------------
+
+def test_pad_to_multiple_honors_axis():
+    from flowtrack_tpu.parallel import pad_to_multiple
+
+    x = np.arange(15).reshape(3, 5)
+    padded, n_valid = pad_to_multiple(x, 8, axis=1)
+    assert padded.shape == (3, 8)
+    assert n_valid == 5
+    padded0, n0 = pad_to_multiple(x, 8, axis=0)
+    assert padded0.shape == (8, 5) and n0 == 3
+
+
+def test_batch_sharding_uses_mesh_axis_name():
+    """cfg.mesh.data_axis must be live: a mesh built with a custom axis
+    name shards on that axis without repeating the name at every call."""
+    import jax
+    from jax.sharding import PartitionSpec as P
+
+    from flowtrack_tpu.parallel import batch_sharding, make_mesh
+
+    mesh = make_mesh(min(2, len(jax.devices())), "batch")
+    sh = batch_sharding(mesh)
+    assert sh.spec == P("batch")
+
+
+def test_coco_gt_db_survives_missing_num_keypoints(tmp_path, coco_root):
+    """PoseTrack-style jsons omit num_keypoints; the GT db must fall back
+    to counting labeled joints instead of silently loading 0 annotations."""
+    import json
+    import shutil
+
+    from flowtrack_tpu.config import get_config
+    from flowtrack_tpu.data import COCODataset
+
+    root, ann_file, _ = coco_root
+    new_root = tmp_path / "nk"
+    (new_root / "annotations").mkdir(parents=True)
+    shutil.copytree(os.path.join(root, "images"), new_root / "images")
+    with open(ann_file) as f:
+        db = json.load(f)
+    for ann in db["annotations"]:
+        del ann["num_keypoints"]
+    with open(new_root / "annotations" / "person_keypoints_val2017.json",
+              "w") as f:
+        json.dump(db, f)
+
+    from dataclasses import replace
+    cfg = get_config("coco_res50_256x192")
+    cfg = replace(cfg, test=replace(cfg.test, use_gt_bbox=True))
+    ref = COCODataset(cfg, root, "val2017", is_train=False)
+    ds = COCODataset(cfg, str(new_root), "val2017", is_train=False)
+    assert len(ds) == len(ref) > 0
+
+
+def test_train_aug_reproducible_across_worker_counts(coco_root):
+    """Augmentation draws derive from (seed, epoch, idx), not a shared
+    Generator mutated by racing worker threads — so the same seed yields
+    the same batches at any worker count."""
+    from flowtrack_tpu.config import get_config
+    from flowtrack_tpu.data import BatchLoader, COCODataset
+
+    root, _, _ = coco_root
+    cfg = get_config("coco_res50_256x192")
+
+    def run(workers):
+        ds = COCODataset(cfg, root, "val2017", is_train=True, seed=11)
+        loader = BatchLoader(ds, batch_size=4, shuffle=True, seed=5,
+                             num_workers=workers)
+        return [list(loader) for _ in range(2)]  # two epochs
+
+    a, b = run(1), run(8)
+    for ep_a, ep_b in zip(a, b):
+        for ba, bb in zip(ep_a, ep_b):
+            np.testing.assert_array_equal(ba["input"], bb["input"])
+    # epochs must differ (set_epoch advances the aug stream)
+    assert not np.array_equal(a[0][0]["input"], a[1][0]["input"])
+
+
+def test_loader_abandoned_iteration_stops_producer(coco_root):
+    """Breaking out of a loader epoch must terminate the producer thread
+    (it would otherwise block forever on the bounded queue)."""
+    import threading
+    import time
+
+    from flowtrack_tpu.config import get_config
+    from flowtrack_tpu.data import BatchLoader, COCODataset
+
+    root, _, _ = coco_root
+    from dataclasses import replace
+    cfg = get_config("coco_res50_256x192")
+    cfg = replace(cfg, test=replace(cfg.test, use_gt_bbox=True))
+    ds = COCODataset(cfg, root, "val2017", is_train=False)
+    before = threading.active_count()
+    for _ in range(3):
+        it = iter(BatchLoader(ds, batch_size=1, prefetch_batches=1,
+                              num_workers=2))
+        next(it)
+        it.close()  # abandons mid-epoch; generator finally must clean up
+    deadline = time.time() + 10
+    while threading.active_count() > before and time.time() < deadline:
+        time.sleep(0.05)
+    assert threading.active_count() <= before
+
+
+def test_flow_to_color_clips_under_explicit_max_flow():
+    """max_flow below the true magnitude must saturate to black, not wrap
+    negative floats through the uint8 cast into garbage pixels."""
+    from flowtrack_tpu.utils.vis import flow_to_color
+
+    flow = np.array([[[30.0, 0.0]]], np.float32)  # |f| = 3 * max_flow
+    out = flow_to_color(flow, max_flow=10.0)
+    # angle pi -> wheel[54] = (255, 0, 43): green/blue channels would go
+    # negative unclipped (1 - 3*(1 - c) < 0 for c < 2/3)
+    assert out[0, 0, 0] == 255
+    assert out[0, 0, 1] == 0 and out[0, 0, 2] == 0
+
+
+def test_stage_timer_sync_blocks_on_outputs():
+    import jax
+    import jax.numpy as jnp
+
+    from flowtrack_tpu.utils.profiling import StageTimer
+
+    t = StageTimer(sync=True)
+    with t.stage("pose") as out:
+        out.append(jax.jit(lambda x: x * 2)(jnp.ones((8, 8))))
+    with t.stage("flow"):
+        jax.jit(lambda x: x + 1)(jnp.ones((8, 8)))
+    s = t.summary()
+    assert s["pose"]["count"] == 1 and s["flow"]["count"] == 1
+    assert s["pose"]["total_s"] > 0
+
+
+def test_frame_paths_accepts_ppm(tmp_path):
+    from flowtrack_tpu.utils.video import IMG_EXTS, frame_paths
+
+    assert ".ppm" in IMG_EXTS
+    (tmp_path / "0001.ppm").write_bytes(b"P6 1 1 255 \x00\x00\x00")
+    (tmp_path / "0002.png").write_bytes(b"x")
+    (tmp_path / "notes.txt").write_bytes(b"x")
+    names = [os.path.basename(p) for p in frame_paths(str(tmp_path))]
+    assert names == ["0001.ppm", "0002.png"]

@@ -51,9 +51,13 @@ def main():
     variables = jax.tree.map(jnp.asarray, load_npz_variables(args.weights))
     predictor = FlowPredictor(cfg, variables)
 
+    from flowtrack_tpu.utils.video import IMG_EXTS
+
     frame_files = sorted(
         f for f in os.listdir(args.frames)
-        if f.lower().endswith((".png", ".jpg", ".jpeg")))
+        if f.lower().endswith(IMG_EXTS))
+    if not frame_files:
+        ap.error(f"no frame images ({'/'.join(IMG_EXTS)}) in {args.frames}")
     flo_files = None
     if args.gt_flow:
         flo_files = sorted(f for f in os.listdir(args.gt_flow)

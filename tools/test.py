@@ -64,7 +64,7 @@ def run_validation(cfg, model, variables, mesh=None, output_dir=None,
         dataset = build_val_dataset(cfg)
     flip_pairs = (MPII_FLIP_PAIRS if cfg.data.dataset == "mpii"
                   else COCO_FLIP_PAIRS)
-    mesh = mesh or make_mesh(cfg.mesh.num_devices)
+    mesh = mesh or make_mesh(cfg.mesh.num_devices, cfg.mesh.data_axis)
     data_sh = batch_sharding(mesh)
 
     batch_size = cfg.test.batch_size * mesh.size

@@ -99,7 +99,7 @@ def main():
     cfg = apply_overrides(get_config(args.cfg), args.opts)
     ckpt_dir = args.out or cfg.train.checkpoint_dir
 
-    mesh = make_mesh(cfg.mesh.num_devices)
+    mesh = make_mesh(cfg.mesh.num_devices, cfg.mesh.data_axis)
     data_sh = batch_sharding(mesh)
     repl = replicated(mesh)
     log.info("mesh: %s", mesh)

@@ -81,7 +81,7 @@ def main():
                          is_train=True)
     log.info("flow corpus: %d pairs, crop %dx%d", len(ds), ch, cw)
 
-    mesh = make_mesh(cfg.mesh.num_devices)
+    mesh = make_mesh(cfg.mesh.num_devices, cfg.mesh.data_axis)
     data_sh = batch_sharding(mesh)
     global_batch = args.batch * mesh.size
     log.info("mesh: %s, global batch %d", mesh, global_batch)
