@@ -180,6 +180,11 @@ def run_clip_bench(cfg_name=None, flow_variant=None):
     if os.environ.get("BENCH_RECOVER") == "0":
         # ablation: disable the detector-miss recovery pose pass
         cfg = replace(cfg, track=replace(cfg.track, clip_recover=False))
+    if os.environ.get("BENCH_POSE_CHUNK"):
+        # cap pose-backbone activation memory (lax.map chunks) so more
+        # streams fit one program — see TrackConfig.pose_chunk
+        cfg = replace(cfg, track=replace(
+            cfg.track, pose_chunk=int(os.environ["BENCH_POSE_CHUNK"])))
     h, w = cfg.model.image_size  # frames at model input res
     pose = get_pose_net(cfg.model)
     flow_variant = flow_variant or os.environ.get("BENCH_FLOW", "flownet_s")

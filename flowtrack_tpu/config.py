@@ -134,6 +134,11 @@ class TrackConfig:
                                    # clip-wide pose budget is ceil(F * this)
     max_miss_age: int = 3          # consecutive detector misses a track may
                                    # bridge via propagation-only boxes
+    pose_chunk: int = 0            # ClipTracker: run the pose backbone in
+                                   # lax.map chunks of this many crops
+                                   # (0 = one call). Caps peak activation
+                                   # memory so more streams batch into one
+                                   # program; per-crop results unchanged
 
 
 @dataclass(frozen=True)

@@ -144,18 +144,40 @@ class ClipTracker:
                                              if recover else 0)
         crop_dtype = jnp.dtype(cfg.model.dtype)
 
-        def pose_on_crops(pose_vars, crops, centers_flat, scales_flat,
-                          det_scores_flat):
-            """crops (N, h, w, 3) -> decoded preds/maxvals/rescored (N, ...)
-            with the fused flip-test double batch."""
-            n = crops.shape[0]
+        pose_chunk = tcfg.pose_chunk
+
+        def pose_heatmaps(pose_vars, crops):
+            """(M, h, w, 3) crops -> flip-merged heatmaps, one model call.
+            With flip_test the double batch lives only inside this call."""
+            m = crops.shape[0]
             if flip_test:
                 both = jnp.concatenate([crops, crops[:, :, ::-1, :]], axis=0)
                 hm = pose_model.apply(pose_vars, both, train=False)
-                hm = merge_flip_test(hm[:n], hm[n:], COCO_FLIP_PAIRS,
-                                     shift=cfg.test.shift_heatmap)
+                return merge_flip_test(hm[:m], hm[m:], COCO_FLIP_PAIRS,
+                                       shift=cfg.test.shift_heatmap)
+            return pose_model.apply(pose_vars, crops, train=False)
+
+        def pose_on_crops(pose_vars, crops, centers_flat, scales_flat,
+                          det_scores_flat):
+            """crops (N, h, w, 3) -> decoded preds/maxvals/rescored (N, ...)
+            with the fused flip-test double batch.
+
+            track.pose_chunk > 0 runs the backbone via lax.map over
+            fixed-size chunks: each crop's result is independent (inference
+            BN is frozen), so chunking only caps the peak live activation
+            memory — the lever that lets more independent streams batch
+            into one serving program (bench BENCH_CLIPS) without exceeding
+            HBM. Chunks still carry hundreds of crops so the MXU stays
+            saturated."""
+            n = crops.shape[0]
+            if pose_chunk and n > pose_chunk and n % pose_chunk == 0:
+                hm = jax.lax.map(
+                    lambda c: pose_heatmaps(pose_vars, c),
+                    crops.reshape((n // pose_chunk, pose_chunk)
+                                  + crops.shape[1:]))
+                hm = hm.reshape((n,) + hm.shape[2:])
             else:
-                hm = pose_model.apply(pose_vars, crops, train=False)
+                hm = pose_heatmaps(pose_vars, crops)
             preds, maxvals = get_final_preds(
                 hm, centers_flat, scales_flat,
                 post_process=cfg.test.post_process)

@@ -723,3 +723,48 @@ def test_padded_clip_matches_unpadded_under_budget_pressure():
         tracker.prepare(frames, db, dsc, dv))[5]
     for a, b in zip(want_seed, out_p[5]):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+class ContentPose:
+    """Content-dependent stub: the heatmap IS the (resized) crop intensity,
+    so different crops decode different joints and any chunk-order or
+    flip-merge bookkeeping error changes the output."""
+
+    def apply(self, variables, x, train=False):
+        import jax
+
+        n = x.shape[0]
+        g = jnp.mean(x, axis=-1, keepdims=True)
+        hm = jax.image.resize(g, (n, HM_HW[0], HM_HW[1], 1), "bilinear")
+        return jnp.broadcast_to(hm, (n, HM_HW[0], HM_HW[1], K))
+
+
+def test_pose_chunk_matches_unchunked():
+    """track.pose_chunk runs the backbone in lax.map chunks (memory cap for
+    multi-stream serving); per-crop results must equal the one-call path —
+    including the flip-test double batch, which lives inside each chunk."""
+    base = make_cfg()
+    cfg = replace(base, test=replace(base.test, flip_test=True))
+    f = 6
+    rng = np.random.default_rng(3)
+    frames = rng.uniform(0, 255, (f, 128, 160, 3)).astype(np.float32)
+    boxes, scores = [], []
+    for t in range(f):
+        ax, ay = 40 + VEL[0] * t, 50 + VEL[1] * t
+        boxes.append([[ax - 15, ay - 15, 30, 30],
+                      [ax + 30, ay - 10, 30, 30]])
+        scores.append([0.9, 0.8])
+    db, dsc, dv = pad_detections(boxes, scores, cfg.track.max_persons)
+
+    ref_tracker = ClipTracker(cfg, ContentPose(), {}, StubFlow(), {})
+    ref = ref_tracker.track_clip(frames, db, dsc, dv)
+    # f * max_persons = 24 crops; chunk=8 divides it, recovery-pass batches
+    # don't (they fall back to the single-call path inside the same run)
+    chunked_cfg = replace(cfg, track=replace(cfg.track, pose_chunk=8))
+    chk_tracker = ClipTracker(chunked_cfg, ContentPose(), {}, StubFlow(), {})
+    chk = chk_tracker.track_clip(frames, db, dsc, dv)
+
+    for key in ("joints", "maxvals", "scores", "ids", "valid"):
+        np.testing.assert_allclose(np.asarray(ref[key]),
+                                   np.asarray(chk[key]),
+                                   rtol=0, atol=1e-6, err_msg=key)
