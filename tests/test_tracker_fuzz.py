@@ -167,6 +167,10 @@ def test_fuzz_three_implementations_agree():
     config: budget pressure unreachable, dropouts < max_miss_age)."""
     cfg = make_cfg()
     tracker = default_tracker()
+    # the memory-capping chunked pose path must be glue-equivalent too
+    # (f * max_persons = 24 crops -> three 8-crop lax.map chunks)
+    chunked_cfg = replace(cfg, track=replace(cfg.track, pose_chunk=8))
+    chunked = ClipTracker(chunked_cfg, StubPose(), {}, StubFlow(), {})
     rng = np.random.default_rng(1234)
     f = 6  # fixed clip length: one jit compile for all scenarios
     for i in range(12):
@@ -182,12 +186,16 @@ def test_fuzz_three_implementations_agree():
             "clip": partition_of(
                 run_clip(cfg, tracker, frames, det_boxes, det_scores),
                 center, n_p, f),
+            "clip_chunked": partition_of(
+                run_clip(chunked_cfg, chunked, frames, det_boxes,
+                         det_scores),
+                center, n_p, f),
             "oracle": partition_of(
                 run_oracle(cfg, frames, det_boxes, det_scores),
                 center, n_p, f),
         }
-        assert parts["stream"] == parts["clip"] == parts["oracle"], (
-            i, parts)
+        assert (parts["stream"] == parts["clip"] == parts["clip_chunked"]
+                == parts["oracle"]), (i, parts)
 
 
 def test_budget_pressure_breaks_lower_scored_chain():
