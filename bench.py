@@ -88,7 +88,12 @@ def build_tpu_step():
 
 def run_component_bench():
     """BENCH_COMPONENTS=1: time pose-only and flow-only to locate the
-    bottleneck. Prints one json line per component (not the driver line)."""
+    bottleneck. Prints one json line per component (not the driver line).
+
+    Uses the in-jit amortized protocol (_amortized_ms) — a dispatch loop
+    closed by block_until_ready is exactly the protocol CLAUDE.md documents
+    as unreliable on this relay (large outputs return early, per-dispatch
+    jitter up to 10x)."""
     import jax
     import jax.numpy as jnp
 
@@ -104,32 +109,20 @@ def run_component_bench():
                         jnp.float32)
     pose_vars = jax.jit(pose.init, static_argnames="train")(
         rngk, crops[:1], train=False)
-    pose_fwd = jax.jit(lambda v, x: pose.apply(v, x, train=False))
-    out = pose_fwd(pose_vars, crops)
-    jax.block_until_ready(out)
-    t0 = time.perf_counter()
-    for _ in range(FRAMES):
-        out = pose_fwd(pose_vars, crops)
-    jax.block_until_ready(out)
-    pose_dt = (time.perf_counter() - t0) / FRAMES
+    pose_ms = _amortized_ms(lambda v, x: pose.apply(v, x, train=False),
+                            pose_vars, crops)
     print(json.dumps({"component": "pose_resnet50_x%d" % (2 * PERSONS),
-                      "ms_per_frame": round(1000 * pose_dt, 3)}))
+                      "ms_per_frame": round(pose_ms, 3)}))
 
     flow_net = FlowNetS(dtype=jnp.bfloat16)
     x = preprocess_pair(rng.uniform(0, 255, (1, H, W, 3)),
                         rng.uniform(0, 255, (1, H, W, 3)))
     flow_vars = jax.jit(flow_net.init, static_argnames="train")(
         rngk, x, train=False)
-    flow_fwd = jax.jit(lambda v, x: flow_net.apply(v, x, train=False))
-    out = flow_fwd(flow_vars, x)
-    jax.block_until_ready(out)
-    t0 = time.perf_counter()
-    for _ in range(FRAMES):
-        out = flow_fwd(flow_vars, x)
-    jax.block_until_ready(out)
-    flow_dt = (time.perf_counter() - t0) / FRAMES
+    flow_ms = _amortized_ms(lambda v, x: flow_net.apply(v, x, train=False),
+                            flow_vars, x)
     print(json.dumps({"component": "flownet_s_pair",
-                      "ms_per_frame": round(1000 * flow_dt, 3)}))
+                      "ms_per_frame": round(flow_ms, 3)}))
 
 
 def run_tpu_bench():
@@ -201,14 +194,20 @@ def run_clip_bench(cfg_name=None, flow_variant=None):
     else:
         flow_net = FlowNetS(dtype=jnp.bfloat16)
     rngk = jax.random.PRNGKey(0)
-    pose_vars = jax.jit(pose.init, static_argnames="train")(
-        rngk, jnp.zeros((1, h, w, 3)), train=False)
+    quant_mode = os.environ.get("BENCH_QUANT", "")
+    if quant_mode in ("folded", "1", "mixed", "pre"):
+        # the quant paths below init their own fp32 net and replace
+        # pose_vars unconditionally — skip the multi-minute bf16 relay
+        # init they would discard (review finding)
+        pose_vars = None
+    else:
+        pose_vars = jax.jit(pose.init, static_argnames="train")(
+            rngk, jnp.zeros((1, h, w, 3)), train=False)
     # FlowNet init needs /64 dims (the clip pipeline resizes internally)
     fh, fw = -(-h // 64) * 64, -(-w // 64) * 64
     flow_vars = jax.jit(flow_net.init, static_argnames="train")(
         rngk, jnp.zeros((1, fh, fw, 6)), train=False)
 
-    quant_mode = os.environ.get("BENCH_QUANT", "")
     if quant_mode == "folded":
         # BN-folded float path (no int8): isolates whether the BN
         # scale/shift epilogue costs anything under XLA fusion.
@@ -705,7 +704,8 @@ def run_train_accuracy_smoke():
     from flowtrack_tpu.config import (Config, ModelConfig, TestConfig,
                                       TrainConfig)
     from flowtrack_tpu.data import BatchLoader, COCODataset
-    from flowtrack_tpu.engine.train import create_train_state
+    from flowtrack_tpu.engine.train import (create_train_state,
+                                            make_jit_train_step)
     from flowtrack_tpu.models.pose_resnet import get_pose_net
     from tests.fixtures import make_coco_fixture
     from tools.test import run_validation
@@ -814,15 +814,18 @@ def run_train_bench():
     return bs / dt
 
 
-def run_oracle_bench():
+def run_oracle_bench(num_layers=50, h=None, w=None, flip=True):
     """Same per-frame work in torch-CPU (the measured denominator) —
     single source of truth lives in benchmarks/reference_oracle.py.
+    Parametric over BENCH_CFG's depth/resolution and BENCH_FLIP so
+    vs_baseline always divides by the SAME workload the numerator ran.
     Returns the min-of-k stats dict."""
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from benchmarks.reference_oracle import measure_oracle_fps
 
-    return measure_oracle_fps(ORACLE_FRAMES, PERSONS, H, W,
-                              reps=ORACLE_REPS)
+    return measure_oracle_fps(ORACLE_FRAMES, PERSONS, h or H, w or W,
+                              reps=ORACLE_REPS, num_layers=num_layers,
+                              flip=flip)
 
 
 def main():
@@ -853,32 +856,45 @@ def main():
         fps, extras = run_clip_bench()
     else:
         fps = run_tpu_bench()
+    from flowtrack_tpu.config import get_config
+
+    bench_model = get_config(BENCH_CFG).model
+    ih, iw = bench_model.image_size
+    oracle_flip = os.environ.get("BENCH_FLIP") != "0"
     oracle = None
     # the cache key must pin the FULL measurement geometry — a cached
-    # 8-person denominator must not vouch for a 16-person run (review
-    # finding)
+    # 8-person res50 denominator must not vouch for a 16-person or
+    # res152@384 run (review findings)
     protocol = (f"min-of-{ORACLE_REPS}x{ORACLE_FRAMES}f"
-                f"-{PERSONS}p-{H}x{W}")
+                f"-{PERSONS}p-r{bench_model.num_layers}-{ih}x{iw}"
+                f"-{'flip' if oracle_flip else 'noflip'}")
     cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                          ".bench_oracle_fps.json")
     if os.environ.get("BENCH_SKIP_ORACLE") != "1":
         try:
-            if os.path.exists(cache):
-                c = json.load(open(cache))
-                if c.get("protocol") == protocol:  # old-format caches rerun
-                    oracle = c["stats"]
-            if oracle is None:
-                oracle = run_oracle_bench()
+            c = json.load(open(cache))
+            if c.get("protocol") == protocol:  # old-format caches rerun
+                oracle = c["stats"]
+        except FileNotFoundError:
+            pass
+        except Exception as e:  # noqa: BLE001 — bad cache must not stick
+            print(f"bench: discarding unreadable oracle cache ({e})",
+                  file=sys.stderr)
+            try:
+                os.remove(cache)
+            except OSError:
+                pass
+        if oracle is None:
+            try:
+                oracle = run_oracle_bench(bench_model.num_layers, ih, iw,
+                                          oracle_flip)
                 json.dump({"protocol": protocol, "stats": oracle},
                           open(cache, "w"))
-        except Exception as e:  # noqa: BLE001 — denominator must not kill
-            print(f"bench: oracle measurement failed ({e})",
-                  file=sys.stderr)
-            oracle = None
+            except Exception as e:  # noqa: BLE001 — must not kill bench
+                print(f"bench: oracle measurement failed ({e})",
+                      file=sys.stderr)
+                oracle = None
 
-    from flowtrack_tpu.config import get_config
-
-    ih, iw = get_config(BENCH_CFG).model.image_size
     flip = "no-flip" if os.environ.get("BENCH_FLIP") == "0" else "flip-test"
     nstreams = extras.get("batched_streams", 1)
     streams = f"{nstreams} batched streams, " if nstreams > 1 else ""

@@ -61,13 +61,11 @@ ENCODER = [
 
 
 def flops_of(fn, *args):
-    lowered = jax.jit(fn).lower(*args)
-    ca = lowered.cost_analysis()
-    if ca is None:
-        ca = lowered.compile().cost_analysis()
-    if isinstance(ca, (list, tuple)):
-        ca = ca[0]
-    return float(ca.get("flops", 0.0))
+    # single guarded implementation — a cost_analysis failure on the relay
+    # must not abort the probe after its expensive compiles
+    from bench import program_flops
+
+    return program_flops(jax.jit(fn), *args)
 
 
 def emit(name, ms, flops):

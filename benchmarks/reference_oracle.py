@@ -24,10 +24,16 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def make_oracle_frame_fn(persons: int = 8, h: int = 256, w: int = 192):
+def make_oracle_frame_fn(persons: int = 8, h: int = 256, w: int = 192,
+                         num_layers: int = 50, flip: bool = True):
     """THE oracle per-frame work (single source of truth — bench.py imports
-    this): FlowNetS on one frame pair + PoseResNet-50 on persons crops with
-    flip-test (2x batch) + host argmax decode."""
+    this): FlowNetS on one frame pair + PoseResNet-``num_layers`` on
+    persons crops (2x batch when ``flip``) + host argmax decode.
+
+    Parametric over depth/resolution/flip so a BENCH_CFG=res152_384x288
+    run divides by the SAME per-frame work, not the res50 default
+    (review finding: a fixed denominator made vs_baseline
+    apples-to-oranges for non-default configs)."""
     import torch
 
     from tests.oracles.flownet_torch import FlowNetSTorch
@@ -35,12 +41,17 @@ def make_oracle_frame_fn(persons: int = 8, h: int = 256, w: int = 192):
 
     torch.manual_seed(0)
     torch.set_num_threads(os.cpu_count() or 8)
-    pose = PoseResNetTorch(50).eval()
+    pose = PoseResNetTorch(num_layers).eval()
     flow = FlowNetSTorch().eval()
     rng = np.random.default_rng(0)
-    pair = torch.from_numpy(rng.uniform(-1, 1, (1, 6, h, w)).astype(np.float32))
+    # FlowNet needs /64 dims; the TPU pipeline resizes the flow branch the
+    # same way (clip_pipeline), so the oracle matches that work too
+    fh, fw = -(-h // 64) * 64, -(-w // 64) * 64
+    pair = torch.from_numpy(
+        rng.uniform(-1, 1, (1, 6, fh, fw)).astype(np.float32))
     crops = torch.from_numpy(
-        rng.uniform(-1, 1, (persons * 2, 3, h, w)).astype(np.float32))
+        rng.uniform(-1, 1, (persons * (2 if flip else 1), 3, h, w))
+        .astype(np.float32))
 
     def frame():
         with torch.no_grad():
@@ -56,7 +67,8 @@ def make_oracle_frame_fn(persons: int = 8, h: int = 256, w: int = 192):
 
 
 def measure_oracle_fps(frames: int = 32, persons: int = 8, h: int = 256,
-                       w: int = 192, reps: int = 3) -> dict:
+                       w: int = 192, reps: int = 3, num_layers: int = 50,
+                       flip: bool = True) -> dict:
     """Min-of-k protocol (VERDICT round-2 item 2a): ``reps`` repetitions of
     a ``frames``-frame batch after one warm-up frame; the headline fps is
     the FASTEST repetition (machine contention only ever slows the oracle
@@ -66,7 +78,7 @@ def measure_oracle_fps(frames: int = 32, persons: int = 8, h: int = 256,
 
     Returns {"fps", "frames", "reps", "rep_fps", "spread_pct"}.
     """
-    frame = make_oracle_frame_fn(persons, h, w)
+    frame = make_oracle_frame_fn(persons, h, w, num_layers, flip)
     frame()  # warm-up
     rep_fps = []
     for _ in range(reps):
@@ -91,14 +103,19 @@ def main():
     ap.add_argument("--persons", type=int, default=8)
     ap.add_argument("--height", type=int, default=256)
     ap.add_argument("--width", type=int, default=192)
+    ap.add_argument("--num-layers", type=int, default=50)
+    ap.add_argument("--no-flip", action="store_true")
     args = ap.parse_args()
     h, w = args.height, args.width
     stats = measure_oracle_fps(args.frames, args.persons, h, w,
-                               reps=args.reps)
+                               reps=args.reps, num_layers=args.num_layers,
+                               flip=not args.no_flip)
+    flip_s = "no-flip" if args.no_flip else "flip-test"
     print(json.dumps({
         "metric": "reference_oracle_torch_cpu_fps",
         "value": round(stats["fps"], 4),
-        "unit": f"frames/s ({h}x{w}, {args.persons} persons, flip-test; "
+        "unit": f"frames/s (r{args.num_layers} {h}x{w}, "
+                f"{args.persons} persons, {flip_s}; "
                 f"min-of-{args.reps} x {args.frames} frames)",
         "rep_fps": stats["rep_fps"],
         "spread_pct": stats["spread_pct"],
