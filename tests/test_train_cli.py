@@ -29,6 +29,15 @@ def test_train_main_one_epoch(tmp_path, monkeypatch):
     # a checkpoint directory for epoch 0 must exist
     assert any(p.isdigit() for p in os.listdir(out_dir)), \
         os.listdir(out_dir)
+    # per-epoch scalar metrics land in the checkpoint dir (jsonl; the
+    # reference's tensorboard-scalars counterpart, SURVEY.md 6.5)
+    import json
+
+    lines = [json.loads(ln) for ln in
+             open(os.path.join(out_dir, "metrics.jsonl"))]
+    assert len(lines) == 1
+    assert {"step", "train_loss", "train_acc", "val_perf",
+            "lr"} <= set(lines[0])
 
 
 def test_train_main_posetrack_finetune(tmp_path, monkeypatch):

@@ -27,7 +27,7 @@ from flowtrack_tpu.engine.train import (
 )
 from flowtrack_tpu.models.pose_resnet import get_pose_net
 from flowtrack_tpu.parallel import batch_sharding, make_mesh, replicated
-from flowtrack_tpu.utils.logging import setup_logging
+from flowtrack_tpu.utils.logging import MetricsWriter, setup_logging
 from tools.test import build_val_dataset, run_validation
 
 log = logging.getLogger("flowtrack.train")
@@ -92,12 +92,19 @@ def main():
     ap.add_argument("--imagenet-backbone", default=None,
                     help="torchvision ResNet .pth (or converted .npz): "
                          "ImageNet backbone init, head stays random")
+    ap.add_argument("--tensorboard", default=None, metavar="DIR",
+                    help="also mirror scalars to a TensorBoard event dir "
+                         "(the reference logs TB scalars; SURVEY.md 6.5)")
     ap.add_argument("opts", nargs="*", help="dotted overrides k=v")
     args = ap.parse_args()
     setup_logging()
 
     cfg = apply_overrides(get_config(args.cfg), args.opts)
     ckpt_dir = args.out or cfg.train.checkpoint_dir
+    import os
+
+    mwriter = MetricsWriter(os.path.join(ckpt_dir, "metrics.jsonl"),
+                            tensorboard_dir=args.tensorboard)
 
     mesh = make_mesh(cfg.mesh.num_devices, cfg.mesh.data_axis)
     data_sh = batch_sharding(mesh)
@@ -168,8 +175,13 @@ def main():
             log.warning("validation skipped: %s", e)
         best = max(best, perf)
         mgr.save(epoch, state, perf=perf)
+        lr = cfg.train.lr * cfg.train.lr_factor ** sum(
+            epoch >= m for m in cfg.train.lr_steps)
+        mwriter.write(epoch, train_loss=losses.avg, train_acc=accs.avg,
+                      val_perf=perf, best_perf=best, lr=lr)
         log.info("epoch %d done: loss %.5f perf %.4f (best %.4f)",
                  epoch, losses.avg, perf, best)
+    mwriter.close()
     mgr.wait()
 
 

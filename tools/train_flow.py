@@ -35,7 +35,7 @@ from flowtrack_tpu.engine.metrics import AverageMeter
 from flowtrack_tpu.engine.train import create_train_state
 from flowtrack_tpu.models.flownet import get_flow_net, preprocess_pair
 from flowtrack_tpu.parallel import batch_sharding, make_mesh, replicated
-from flowtrack_tpu.utils.logging import setup_logging
+from flowtrack_tpu.utils.logging import MetricsWriter, setup_logging
 
 log = logging.getLogger("flowtrack.train_flow")
 
@@ -68,11 +68,20 @@ def main():
                     help="validation Sintel-style frames dir")
     ap.add_argument("--val-gt-flow", default=None,
                     help="validation per-pair .flo dir")
+    ap.add_argument("--tensorboard", default=None, metavar="DIR",
+                    help="also mirror scalars to a TensorBoard event dir")
     ap.add_argument("opts", nargs="*", help="dotted overrides k=v")
     args = ap.parse_args()
     setup_logging()
 
     cfg = apply_overrides(get_config(args.cfg), args.opts)
+    import os
+
+    metrics = MetricsWriter(
+        os.path.join(args.ckpt_dir or
+                     os.path.dirname(os.path.abspath(args.out)) or ".",
+                     "metrics.jsonl"),
+        tensorboard_dir=args.tensorboard)
     ch, cw = args.crop
     if ch % 64 or cw % 64:
         raise SystemExit("--crop must be /64-divisible (FlowNet encoders)")
@@ -169,10 +178,13 @@ def main():
         if val_ds is not None:
             line["val_epe"] = round(validate(state), 4)
         log.info(json.dumps(line))
+        metrics.write(epoch, **{k: v for k, v in line.items()
+                                if k != "epoch"})
         if mgr is not None:
             # best = LOWEST epe; CheckpointManager tracks best by MAX perf
             mgr.save(epoch, state,
                      perf=-line.get("val_epe", line["epe"]))
+    metrics.close()
     if mgr is not None:
         mgr.wait()
 
