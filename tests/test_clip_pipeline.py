@@ -768,3 +768,44 @@ def test_pose_chunk_matches_unchunked():
         np.testing.assert_allclose(np.asarray(ref[key]),
                                    np.asarray(chk[key]),
                                    rtol=0, atol=1e-6, err_msg=key)
+
+
+def test_pose_chunk_composes_with_sharding():
+    """pose_chunk under BOTH production sharded layouts: a frame-sharded
+    single clip and clip-sharded batched streams must reproduce the
+    unsharded unchunked ids (the serving combination the memory cap
+    exists for)."""
+    from flowtrack_tpu.parallel import batch_sharding, make_mesh
+
+    base = make_cfg()
+    cfg = replace(base, track=replace(base.track, pose_chunk=8))
+    tracker = ClipTracker(cfg, StubPose(), {}, StubFlow(), {})
+    ref_tracker = default_tracker()
+    mesh = make_mesh()
+
+    f = 8  # f * max_persons = 32 crops -> four 8-crop chunks
+    frames = np.zeros((f, 64, 96, 3), np.float32)
+    boxes, scores = [], []
+    for t in range(f):
+        ax, ay = 20 + VEL[0] * t, 25 + VEL[1] * t
+        boxes.append([[ax - 10, ay - 10, 20, 20],
+                      [ax + 28, ay - 6, 20, 20]])
+        scores.append([0.9, 0.85])
+    db, dsc, dv = pad_detections(boxes, scores, cfg.track.max_persons)
+    want = ref_tracker.track_clip(frames, db, dsc, dv)
+
+    got_f = tracker.track_clip(frames, db, dsc, dv,
+                               frame_sharding=batch_sharding(mesh))
+    np.testing.assert_array_equal(got_f["ids"], want["ids"])
+    np.testing.assert_array_equal(got_f["valid"], want["valid"])
+
+    c = 4  # identical streams, clip-sharded over a 4-device submesh
+    got_c = tracker.track_clips(
+        np.broadcast_to(frames, (c,) + frames.shape).copy(),
+        np.broadcast_to(db, (c,) + db.shape).copy(),
+        np.broadcast_to(dsc, (c,) + dsc.shape).copy(),
+        np.broadcast_to(dv, (c,) + dv.shape).copy(),
+        sharding=batch_sharding(make_mesh(4)))
+    for i in range(c):
+        np.testing.assert_array_equal(got_c["ids"][i], want["ids"])
+        np.testing.assert_array_equal(got_c["valid"][i], want["valid"])
