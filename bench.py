@@ -178,6 +178,9 @@ def run_clip_bench(cfg_name=None, flow_variant=None):
         # streams fit one program — see TrackConfig.pose_chunk
         cfg = replace(cfg, track=replace(
             cfg.track, pose_chunk=int(os.environ["BENCH_POSE_CHUNK"])))
+    if os.environ.get("BENCH_FLOW_CHUNK"):
+        cfg = replace(cfg, track=replace(
+            cfg.track, flow_chunk=int(os.environ["BENCH_FLOW_CHUNK"])))
     h, w = cfg.model.image_size  # frames at model input res
     pose = get_pose_net(cfg.model)
     flow_variant = flow_variant or os.environ.get("BENCH_FLOW", "flownet_s")

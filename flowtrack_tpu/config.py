@@ -139,6 +139,9 @@ class TrackConfig:
                                    # (0 = one call). Caps peak activation
                                    # memory so more streams batch into one
                                    # program; per-crop results unchanged
+    flow_chunk: int = 0            # same for the flow net (pairs per
+                                   # chunk) — the FlowNet2 cascade is the
+                                   # HBM-bound config
 
 
 @dataclass(frozen=True)

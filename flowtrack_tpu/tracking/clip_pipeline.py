@@ -110,6 +110,23 @@ def _box_xyxy_to_center_scale(boxes, aspect_ratio: float,
     return centers, scales
 
 
+def _chunked_apply(fn, x, chunk: int):
+    """Apply ``fn`` (batch-elementwise: per-item results independent of
+    batch composition) to ``x`` in lax.map chunks of ``chunk`` leading
+    items, with an un-chunked tail call for the remainder. Bounds peak
+    activation memory at ~one chunk's worth; results identical to one
+    call. chunk <= 0 or chunk >= len(x) degrades to a single call."""
+    n = x.shape[0]
+    if chunk <= 0 or n <= chunk:
+        return fn(x)
+    k = n // chunk
+    main = jax.lax.map(fn, x[:k * chunk].reshape((k, chunk) + x.shape[1:]))
+    main = main.reshape((k * chunk,) + main.shape[2:])
+    if n % chunk:
+        return jnp.concatenate([main, fn(x[k * chunk:])], axis=0)
+    return main
+
+
 def _assign_ids(assign, cand_valid, track_ids, next_id):
     """Vectorized id bookkeeping. assign: (P,) row index or -1.
 
@@ -163,21 +180,14 @@ class ClipTracker:
             with the fused flip-test double batch.
 
             track.pose_chunk > 0 runs the backbone via lax.map over
-            fixed-size chunks: each crop's result is independent (inference
-            BN is frozen), so chunking only caps the peak live activation
-            memory — the lever that lets more independent streams batch
-            into one serving program (bench BENCH_CLIPS) without exceeding
-            HBM. Chunks still carry hundreds of crops so the MXU stays
-            saturated."""
-            n = crops.shape[0]
-            if pose_chunk and n > pose_chunk and n % pose_chunk == 0:
-                hm = jax.lax.map(
-                    lambda c: pose_heatmaps(pose_vars, c),
-                    crops.reshape((n // pose_chunk, pose_chunk)
-                                  + crops.shape[1:]))
-                hm = hm.reshape((n,) + hm.shape[2:])
-            else:
-                hm = pose_heatmaps(pose_vars, crops)
+            fixed-size chunks (_chunked_apply): each crop's result is
+            independent (inference BN is frozen), so chunking only caps
+            the peak live activation memory — the lever that lets more
+            independent streams batch into one serving program (bench
+            BENCH_CLIPS) without exceeding HBM. Chunks still carry
+            hundreds of crops so the MXU stays saturated."""
+            hm = _chunked_apply(lambda c: pose_heatmaps(pose_vars, c),
+                                crops, pose_chunk)
             preds, maxvals = get_final_preds(
                 hm, centers_flat, scales_flat,
                 post_process=cfg.test.post_process)
@@ -333,7 +343,12 @@ class ClipTracker:
                     flow_in = frames
                 pairs = preprocess_pair(flow_in[:-1], flow_in[1:],
                                         cfg.flow.rgb_max)
-                flow_q = flow_model.apply(flow_vars, pairs, train=False)
+                # track.flow_chunk: same memory cap for the flow net —
+                # the FlowNet2-cascade config is HBM-bound on this chip
+                # (63 full-res pairs in one batch)
+                flow_q = _chunked_apply(
+                    lambda p: flow_model.apply(flow_vars, p, train=False),
+                    pairs, tcfg.flow_chunk)
                 # handles both output conventions (quarter-res/div_flow vs
                 # the FlowNet2 cascade's final full-res flow)
                 flows = postprocess_flow(flow_q, cfg.flow.variant, (h, w),

@@ -758,16 +758,20 @@ def test_pose_chunk_matches_unchunked():
 
     ref_tracker = ClipTracker(cfg, ContentPose(), {}, StubFlow(), {})
     ref = ref_tracker.track_clip(frames, db, dsc, dv)
-    # f * max_persons = 24 crops; chunk=8 divides it, recovery-pass batches
-    # don't (they fall back to the single-call path inside the same run)
-    chunked_cfg = replace(cfg, track=replace(cfg.track, pose_chunk=8))
-    chk_tracker = ClipTracker(chunked_cfg, ContentPose(), {}, StubFlow(), {})
-    chk = chk_tracker.track_clip(frames, db, dsc, dv)
+    # f * max_persons = 24 crops: chunk=8 divides exactly; chunk=7 leaves a
+    # 3-crop tail call; flow_chunk=2 leaves a 1-pair tail on the 5 pairs
+    for pose_chunk in (8, 7):
+        chunked_cfg = replace(cfg, track=replace(
+            cfg.track, pose_chunk=pose_chunk, flow_chunk=2))
+        chk_tracker = ClipTracker(chunked_cfg, ContentPose(), {},
+                                  StubFlow(), {})
+        chk = chk_tracker.track_clip(frames, db, dsc, dv)
 
-    for key in ("joints", "maxvals", "scores", "ids", "valid"):
-        np.testing.assert_allclose(np.asarray(ref[key]),
-                                   np.asarray(chk[key]),
-                                   rtol=0, atol=1e-6, err_msg=key)
+        for key in ("joints", "maxvals", "scores", "ids", "valid"):
+            np.testing.assert_allclose(np.asarray(ref[key]),
+                                       np.asarray(chk[key]),
+                                       rtol=0, atol=1e-6,
+                                       err_msg=f"{key} chunk={pose_chunk}")
 
 
 def test_pose_chunk_composes_with_sharding():
