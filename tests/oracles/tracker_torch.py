@@ -151,7 +151,12 @@ def iou_plus1(a, b):
 
 
 def greedy_box_nms(boxes_xyxy, scores, thr):
-    order = np.argsort(-np.asarray(scores), kind="stable")
+    # tie convention: HIGHEST index first — the literal semantics of the
+    # lineage's `scores.argsort()[::-1]` under a stable sort, which the
+    # production backends (numpy / C++ / device scan) all pin; the
+    # previous `argsort(-scores, stable)` kept the LOWEST index and only
+    # agreed with production by introsort accident on tie-free inputs
+    order = np.asarray(scores).argsort(kind="stable")[::-1]
     keep = np.zeros(len(boxes_xyxy), bool)
     alive = list(order)
     while alive:

@@ -127,10 +127,21 @@ def test_duplicate_detections_are_fps():
     assert np.isclose(stats["AP"], 1.0)  # 101-pt AP unaffected by trailing FP
     assert np.isclose(stats["AR"], 1.0)
 
-    # duplicate ranked FIRST drags AP down
+    # duplicate ranked FIRST: it matches the GT at high OKS thresholds and
+    # steals it (the off-by-a-pixel pose fails the strictest thresholds),
+    # so exactly half the 10 OKS thresholds score 1.0 -> AP 0.5 exactly
     dts2 = [dt_ann(0, make_pose(101, 101), 0.95), dt_ann(0, kp, 0.8)]
     stats2 = COCOKeypointEval(gts, dts2).evaluate()
-    assert stats2["AP"] <= 1.0
+    assert np.isclose(stats2["AP"], 0.5, atol=0.01), stats2["AP"]
+
+    # duplicate BETWEEN two TPs: the FP must cut precision on the recall
+    # tail — (51*1 + 50*(2/3))/101. A 'silently ignore duplicates'
+    # implementation (dt_ig on already-matched GT) would score 1.0.
+    kp2 = make_pose(300, 300)
+    gts3 = [gt_ann(0, kp), gt_ann(0, kp2)]
+    dts3 = [dt_ann(0, kp, 0.95), dt_ann(0, kp, 0.9), dt_ann(0, kp2, 0.8)]
+    stats3 = COCOKeypointEval(gts3, dts3).evaluate()
+    assert np.isclose(stats3["AP"], (51 + 50 * 2 / 3) / 101, atol=1e-6)
 
 
 def test_unmatched_out_of_range_dt_ignored_in_slices():

@@ -159,11 +159,13 @@ class TestChannelNormGather:
         np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
 
     def test_flow_gather_bilinear(self):
-        # flow field = x + 10*y at every pixel; gather midway between pixels
+        # DISTINCT channels (dx = x + 10y, dy = 2x + 5y) so an x/y output
+        # channel swap or mixing bug is visible; gather between pixels
         flow = np.zeros((4, 4, 2), np.float32)
         for y in range(4):
             for x in range(4):
-                flow[y, x] = (x + 10 * y, x + 10 * y)
+                flow[y, x] = (x + 10 * y, 2 * x + 5 * y)
         pts = np.array([[0.5, 0.0], [1.0, 1.5], [0.5, 0.5]], np.float32)
         got = np.asarray(flow_gather(flow, pts))
         np.testing.assert_allclose(got[:, 0], [0.5, 16.0, 5.5], atol=1e-5)
+        np.testing.assert_allclose(got[:, 1], [1.0, 9.5, 3.5], atol=1e-5)

@@ -17,8 +17,7 @@ import torch
 import jax
 import jax.numpy as jnp
 
-from flowtrack_tpu.models.flownet import FlowNet2, FlowNetFusion, \
-    preprocess_pair
+from flowtrack_tpu.models.flownet import FlowNet2, FlowNetFusion
 from flowtrack_tpu.utils.torch_convert import convert_flownet2, \
     state_dict_to_numpy
 

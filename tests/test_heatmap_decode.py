@@ -86,9 +86,11 @@ def test_quarter_offset_and_transform(rng):
 def test_flip_back_and_merge(rng):
     hm = rng.uniform(0, 1, (2, 64, 48, 17)).astype(np.float32)
     fb = np.asarray(flip_back(jnp.asarray(hm), COCO_FLIP_PAIRS))
-    # channel 1 (left eye) must come from mirrored channel 2 (right eye)
+    # BOTH directions of the swap (a one-directional perm bug would leave
+    # one side un-swapped): left eye <- mirrored right eye AND vice versa
     np.testing.assert_allclose(fb[..., 1], hm[:, :, ::-1, 2])
-    np.testing.assert_allclose(fb[..., 0], hm[:, :, ::-1, 0])
+    np.testing.assert_allclose(fb[..., 2], hm[:, :, ::-1, 1])
+    np.testing.assert_allclose(fb[..., 0], hm[:, :, ::-1, 0])  # nose: unswapped
     merged = np.asarray(merge_flip_test(jnp.asarray(hm), jnp.asarray(hm),
                                         COCO_FLIP_PAIRS, shift=True))
     shifted = fb.copy()
@@ -97,17 +99,16 @@ def test_flip_back_and_merge(rng):
 
 
 def test_rescore():
+    # non-unit box score on the passing row so the box_score x mean_conf
+    # product is actually exercised (1.0 is the multiplicative identity)
     maxvals = jnp.asarray([[0.9, 0.1, 0.5], [0.1, 0.1, 0.1]])
-    s = np.asarray(rescore(jnp.asarray([1.0, 2.0]), maxvals, in_vis_thre=0.2))
-    np.testing.assert_allclose(s[0], (0.9 + 0.5) / 2, rtol=1e-5)
+    s = np.asarray(rescore(jnp.asarray([0.8, 2.0]), maxvals, in_vis_thre=0.2))
+    np.testing.assert_allclose(s[0], 0.8 * (0.9 + 0.5) / 2, rtol=1e-5)
     np.testing.assert_allclose(s[1], 0.0)
 
 
 def test_blur_heatmaps_preserves_peak_location():
-    import numpy as np
-    import jax.numpy as jnp
-
-    from flowtrack_tpu.ops.decode import blur_heatmaps, get_max_preds
+    from flowtrack_tpu.ops.decode import blur_heatmaps
 
     hm = np.zeros((1, 32, 32, 2), np.float32)
     hm[0, 10, 20, 0] = 1.0

@@ -111,8 +111,12 @@ def test_sharded_decode_matches_unsharded(rng):
 
 
 def test_pad_to_multiple():
-    x = np.ones((13, 4))
+    x = np.arange(13 * 4).reshape(13, 4).astype(np.float64)
     padded, n = pad_to_multiple(x, 8)
     assert padded.shape == (16, 4) and n == 13
+    # the original rows must stay at the FRONT with ZERO padding appended
+    # trailing — clip_pipeline relies on real frames occupying [0, n)
+    np.testing.assert_array_equal(padded[:13], x)
+    np.testing.assert_array_equal(padded[13:], 0.0)
     same, n2 = pad_to_multiple(np.ones((16, 4)), 8)
     assert same.shape == (16, 4) and n2 == 16
