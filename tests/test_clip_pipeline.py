@@ -157,7 +157,10 @@ def test_sharded_clips_match_sequential():
     for i in range(c):
         want = tracker.track_clip(frames[i], boxes[i], scores[i], valid[i])
         np.testing.assert_array_equal(out["ids"][i], want["ids"])
-        np.testing.assert_allclose(out["joints"][i], want["joints"],
+        # joints contractual only where valid (invalid recovery slots hold
+        # unspecified scatter contents — see the frame-sharded test)
+        v = want["valid"]
+        np.testing.assert_allclose(out["joints"][i][v], want["joints"][v],
                                    atol=1e-4)
 
 
@@ -567,7 +570,9 @@ def test_seeded_clip_frame_sharded_matches_unsharded():
     want1_host = tracker.to_host(want1)
     np.testing.assert_array_equal(got1["ids"], want1_host["ids"])
     np.testing.assert_array_equal(got1["valid"], want1_host["valid"])
-    np.testing.assert_allclose(got1["joints"], want1_host["joints"],
+    v1 = want1_host["valid"]  # invalid-slot joints are non-contractual
+    np.testing.assert_allclose(got1["joints"][v1],
+                               want1_host["joints"][v1],
                                rtol=1e-5, atol=1e-4)
 
     # the sharded+padded run's seed must equal the unsharded run's seed
@@ -700,8 +705,8 @@ def test_padded_clip_matches_unpadded_under_budget_pressure():
             scores.append([0.9, 0.85])
     db, dsc, dv = pad_detections(boxes, scores, cfg.track.max_persons)
 
-    want = tracker.to_host(tracker.run_prepared(
-        tracker.prepare(frames, db, dsc, dv)))
+    want_dev = tracker.run_prepared(tracker.prepare(frames, db, dsc, dv))
+    want = tracker.to_host(want_dev)
     # budget pressure is real: 4 candidates, budget ceil(5*0.5)=3
     n_recovered = int(want["valid"][:, cfg.track.max_persons:].sum())
     assert n_recovered == 3, n_recovered
@@ -712,16 +717,15 @@ def test_padded_clip_matches_unpadded_under_budget_pressure():
     dsc_p = np.concatenate([dsc, np.zeros((pad,) + dsc.shape[1:])])
     dv_p = np.concatenate([dv, np.zeros((pad,) + dv.shape[1:], bool)])
     fv = np.arange(fpad) < f
-    out_p, seed_p = tracker.run_prepared(
+    out_p = tracker.run_prepared(
         tracker.prepare(frames_p, db_p, dsc_p, dv_p, fv),
-        budget_frames=f), None
+        budget_frames=f)
     got = tracker.to_host(out_p)
     for key in ("joints", "maxvals", "scores", "ids", "valid"):
         np.testing.assert_array_equal(got[key][:f], want[key], err_msg=key)
-    # seed (the next clip's carry) extracted from the last REAL frame
-    want_seed = tracker.run_prepared(
-        tracker.prepare(frames, db, dsc, dv))[5]
-    for a, b in zip(want_seed, out_p[5]):
+    # seed (the next clip's carry) extracted from the last REAL frame —
+    # must equal the unpadded run's seed (reuse want_dev, same program)
+    for a, b in zip(want_dev[5], out_p[5]):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 

@@ -71,7 +71,11 @@ def test_pose_resnet50_full_parity():
     # structural check: converted tree must exactly match the init tree
     rng = np.random.default_rng(0)
     x = rng.normal(0, 1, (2, 64, 48, 3)).astype(np.float32)
-    init_vars = model.init(jax.random.PRNGKey(0), jnp.asarray(x), train=False)
+    # eval_shape: only the tree structure/shapes are needed (an unjitted
+    # ResNet-50 init dispatches op-by-op for minutes — CLAUDE.md)
+    init_vars = jax.eval_shape(
+        lambda k, xx: model.init(k, xx, train=False),
+        jax.random.PRNGKey(0), jnp.asarray(x))
     conv_paths = {jax.tree_util.keystr(k) for k, _ in
                   jax.tree_util.tree_flatten_with_path(variables)[0]}
     init_paths = {jax.tree_util.keystr(k) for k, _ in

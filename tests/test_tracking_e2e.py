@@ -36,14 +36,24 @@ def boxes_of(joints, pad=8.0):
     return np.asarray(out, np.float32)
 
 
-@pytest.fixture
-def tracked(rng):
-    gt = make_sequence(rng)
-    state = {"t": 0}
+def stamped_frames(n=N_FRAMES):
+    """Blank frames whose [0,0,0] pixel stores the frame index — the
+    oracle pose_fn keys its GT lookup to the frame itself, so a skipped
+    pose call (e.g. zero candidate boxes on a frame) cannot desync it
+    the way a call counter would (review finding)."""
+    frames = [np.zeros((H, W, 3), np.uint8) for _ in range(n)]
+    for t, f in enumerate(frames):
+        f[0, 0, 0] = t
+    return frames
+
+
+def make_oracle_pose_fn(gt):
+    """Nearest-GT oracle pose_fn (shared by the three e2e scenarios):
+    returns, for each candidate box, the GT pose of the stamped frame
+    whose center is nearest the box center."""
 
     def pose_fn(image, boxes, scores):
-        # oracle: return the GT pose nearest to each box center
-        t = state["t"]
+        t = int(np.asarray(image)[0, 0, 0])
         joints_gt = gt[t]
         centers_gt = joints_gt.mean(1)
         joints, maxvals, resc = [], [], []
@@ -53,10 +63,17 @@ def tracked(rng):
             joints.append(joints_gt[i])
             maxvals.append(np.full(K, 0.95))
             resc.append(float(s) * 0.95)
-        state["t"] += 1
         return (np.asarray(joints, np.float32),
                 np.asarray(maxvals, np.float32),
                 np.asarray(resc, np.float32))
+
+    return pose_fn
+
+
+@pytest.fixture
+def tracked(rng):
+    gt = make_sequence(rng)
+    pose_fn = make_oracle_pose_fn(gt)
 
     def flow_fn(prev_image, image):
         f = np.zeros((H, W, 2), np.float32)
@@ -65,7 +82,7 @@ def tracked(rng):
         return f
 
     tracker = FlowTracker(cfg=Config(), pose_fn=pose_fn, flow_fn=flow_fn)
-    frames = [np.zeros((H, W, 3), np.uint8) for _ in range(N_FRAMES)]
+    frames = stamped_frames()
     detections = []
     for t in range(N_FRAMES):
         b = boxes_of(gt[t])
@@ -109,22 +126,7 @@ def test_keyframe_interval_streaming(rng):
     from dataclasses import replace
 
     gt = make_sequence(rng)
-    state = {"t": 0}
-
-    def pose_fn(image, boxes, scores):
-        t = state["t"]
-        centers_gt = gt[t].mean(1)
-        joints, maxvals, resc = [], [], []
-        for b, s in zip(boxes, scores):
-            c = np.array([b[0] + b[2] / 2, b[1] + b[3] / 2])
-            i = int(np.argmin(np.linalg.norm(centers_gt - c, axis=1)))
-            joints.append(gt[t][i])
-            maxvals.append(np.full(K, 0.95))
-            resc.append(float(s) * 0.95)
-        state["t"] += 1
-        return (np.asarray(joints, np.float32),
-                np.asarray(maxvals, np.float32),
-                np.asarray(resc, np.float32))
+    pose_fn = make_oracle_pose_fn(gt)
 
     def flow_fn(prev_image, image):
         f = np.zeros((H, W, 2), np.float32)
@@ -134,7 +136,7 @@ def test_keyframe_interval_streaming(rng):
     cfg = Config()
     cfg = replace(cfg, track=replace(cfg.track, keyframe_interval=2))
     tracker = FlowTracker(cfg=cfg, pose_fn=pose_fn, flow_fn=flow_fn)
-    frames = [np.zeros((H, W, 3), np.uint8) for _ in range(N_FRAMES)]
+    frames = stamped_frames()
     detections = [(boxes_of(gt[t]), np.array([0.95, 0.9], np.float32))
                   for t in range(N_FRAMES)]
     per_frame = tracker.track_sequence(frames, detections)
@@ -177,25 +179,9 @@ def test_flow_free_ablation_keeps_ids(rng):
     previously the matching was skipped entirely and every frame minted
     fresh ids (review finding)."""
     gt = make_sequence(rng)
-    state = {"t": 0}
-
-    def pose_fn(image, boxes, scores):
-        t = state["t"]
-        centers_gt = gt[t].mean(1)
-        joints, maxvals, resc = [], [], []
-        for b, s in zip(boxes, scores):
-            c = np.array([b[0] + b[2] / 2, b[1] + b[3] / 2])
-            i = int(np.argmin(np.linalg.norm(centers_gt - c, axis=1)))
-            joints.append(gt[t][i])
-            maxvals.append(np.full(K, 0.95))
-            resc.append(float(s) * 0.95)
-        state["t"] += 1
-        return (np.asarray(joints, np.float32),
-                np.asarray(maxvals, np.float32),
-                np.asarray(resc, np.float32))
-
-    tracker = FlowTracker(cfg=Config(), pose_fn=pose_fn, flow_fn=None)
-    frames = [np.zeros((H, W, 3), np.uint8) for _ in range(N_FRAMES)]
+    tracker = FlowTracker(cfg=Config(), pose_fn=make_oracle_pose_fn(gt),
+                          flow_fn=None)
+    frames = stamped_frames()
     detections = [(boxes_of(gt[t]), np.array([0.95, 0.9], np.float32))
                   for t in range(N_FRAMES)]
     per_frame = tracker.track_sequence(frames, detections)
