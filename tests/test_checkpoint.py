@@ -51,6 +51,12 @@ def test_save_restore_roundtrip(tmp_path, rng):
     for a, b in zip(jax.tree.leaves(state.opt_state),
                     jax.tree.leaves(restored.opt_state)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # BN statistics must round-trip too — a restore that re-initializes
+    # batch_stats would silently wreck eval parity on resume
+    assert jax.tree.leaves(state.batch_stats), "Tiny model must have BN"
+    for a, b in zip(jax.tree.leaves(state.batch_stats),
+                    jax.tree.leaves(restored.batch_stats)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     mgr.close()
 
 
@@ -77,4 +83,7 @@ def test_npz_roundtrip(tmp_path, rng):
     for (ka, va), (kb, vb) in zip(
             sorted(flat_a, key=lambda t: jax.tree_util.keystr(t[0])),
             sorted(flat_b, key=lambda t: jax.tree_util.keystr(t[0]))):
+        # key paths must match pairwise — equal values under a flattened
+        # (un-nested) tree would otherwise pass
+        assert jax.tree_util.keystr(ka) == jax.tree_util.keystr(kb)
         np.testing.assert_array_equal(np.asarray(va), np.asarray(vb))

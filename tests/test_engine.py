@@ -72,7 +72,10 @@ def test_heatmap_accuracy_perfect_and_off(rng):
             hm[i, y, x, j] = 1.0
     acc, per_joint, cnt = heatmap_accuracy(jnp.asarray(hm), jnp.asarray(hm))
     assert float(acc) == 1.0
-    # shift preds by more than 0.5 * (w/10) pixels -> all wrong
+    # shift preds in x by more than 0.5 * (h/10) = 3.2 px -> all wrong
+    # (the normalizer is [h, w]/10 per AXIS ORDER of the pred coords —
+    # the x shift compares against h/10; see
+    # test_review_fixes.test_accuracy_norm_matches_reference_convention)
     hm2 = np.roll(hm, 4, axis=2)
     acc2, _, _ = heatmap_accuracy(jnp.asarray(hm2), jnp.asarray(hm))
     assert float(acc2) == 0.0

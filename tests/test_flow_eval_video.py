@@ -27,14 +27,21 @@ class TestFloIO:
         np.testing.assert_array_equal(back, flow)
 
     def test_epe_stats(self):
-        gt = np.zeros((10, 10, 2), np.float32)
+        # distinct error magnitudes per quarter (0, 0.5, 2, 5 px) so the
+        # three fraction stats take DIFFERENT values and a swapped key or
+        # inverted comparison cannot pass (review finding: the old
+        # two-magnitude scenario made every fraction 0.5)
+        gt = np.zeros((8, 8, 2), np.float32)
         gt[..., 0] = 10.0
         pred = gt.copy()
-        pred[:5] += [3.0, 4.0]  # epe 5 on half the pixels
+        pred[0:2] += [0.5, 0.0]   # epe 0.5  (<=1, <=3, not fl)
+        pred[2:4] += [2.0, 0.0]   # epe 2    (>1, <=3, not fl)
+        pred[4:6] += [3.0, 4.0]   # epe 5    (>3 and >5% of 10 -> fl)
         s = flow_error_stats(pred, gt)
-        assert np.isclose(s["epe"], 2.5)
-        assert np.isclose(s["epe_3px"], 0.5)
-        assert np.isclose(s["fl"], 0.5)  # 5 > 3px and > 5% of 10
+        assert np.isclose(s["epe"], (0.5 + 2.0 + 5.0 + 0.0) / 4)
+        assert np.isclose(s["epe_1px"], 0.5)   # quarters 0 and 0.5
+        assert np.isclose(s["epe_3px"], 0.75)  # all but the 5px quarter
+        assert np.isclose(s["fl"], 0.25)       # only the 5px quarter
 
     def test_dataset_average(self, rng):
         gt = [rng.normal(size=(8, 8, 2)).astype(np.float32)
@@ -66,8 +73,11 @@ class TestVideoUtils:
         assert [list(s) for s in spans] == [
             [0, 1, 2, 3], [3, 4, 5, 6], [6, 7, 8, 9]]
         assert [list(s) for s in clip_spans(3, 4)] == [[0, 1, 2]]
+        # remainder case: the tail span must still OVERLAP the previous
+        # clip by one frame (the stitching contract), not start fresh
         spans2 = clip_spans(11, 4)
-        assert [list(s)[-1] for s in spans2][-1] == 10
+        assert [list(s) for s in spans2] == [
+            [0, 1, 2, 3], [3, 4, 5, 6], [6, 7, 8, 9], [9, 10]]
 
     def test_clip_spans_rejects_degenerate_clip_len(self):
         # clip_len 1 with the 1-frame overlap never advances (would loop
@@ -147,7 +157,8 @@ class TestVideoUtils:
         w0 = seq[list(range(0, 4))]          # clip 0
         w1 = seq[list(range(3, 7))]          # clip 1 (re-reads frame 3)
         assert w0.shape == (4, 4, 4, 3)
-        # BGR -> RGB conversion applied (red channel carries the B marker)
+        # BGR -> RGB conversion applied: the 200+i marker written to the
+        # BGR blue channel lands at RGB index 2; red (index 0) carries 1
         assert int(w0[1, 0, 0, 2]) == 201 and int(w0[1, 0, 0, 0]) == 1
         np.testing.assert_array_equal(w1[0], w0[3])
         assert decode_log == list(range(7))  # each frame decoded ONCE

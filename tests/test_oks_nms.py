@@ -115,3 +115,8 @@ def test_iou_matrix():
     a = jnp.asarray([[0.0, 0.0, 9.0, 9.0]])
     m = np.asarray(iou_matrix(a, a))
     np.testing.assert_allclose(m, 1.0)
+    # the +1 pixel-area convention, hand-computed (self-IoU can't pin it):
+    # [0,0,9,9] is 10x10=100, [0,0,4,9] is 5x10=50, inter 5x10=50
+    # -> 50/(100+50-50) = 0.5 (without +1: 36/81 ~ 0.444)
+    b = jnp.asarray([[0.0, 0.0, 4.0, 9.0]])
+    np.testing.assert_allclose(np.asarray(iou_matrix(a, b)), 0.5)

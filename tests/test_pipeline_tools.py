@@ -18,7 +18,10 @@ from flowtrack_tpu.pipeline import (
     batched_box_to_center_scale,
 )
 
-TINY = Config(model=ModelConfig(num_layers=50, image_size=(64, 64),
+# plumbing-only config: ResNet-18 exercises the identical PosePredictor /
+# run_validation code paths at a fraction of R50's CPU cost; R50 parity
+# is pinned by test_pose_resnet_parity.py
+TINY = Config(model=ModelConfig(num_layers=18, image_size=(64, 64),
                                 heatmap_size=(16, 16), dtype="float32"))
 
 

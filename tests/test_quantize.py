@@ -27,17 +27,17 @@ def float_model_and_vars():
     x = rng.normal(0, 1, (2, 64, 64, 3)).astype(np.float32)
     variables = jax.jit(model.init, static_argnames="train")(
         jax.random.PRNGKey(0), jnp.asarray(x), train=False)
-    # randomize BN stats so folding is non-trivial
-    stats = jax.tree.map(lambda v: v, variables["batch_stats"])
-
-    def rand_stats(tree, key=[0]):
+    # randomize BN stats so folding is non-trivial; explicit counter
+    # (a mutable-default list would keep counting across calls, making
+    # a second invocation produce different "deterministic" stats)
+    def rand_stats(tree, counter):
         out = {}
         for k, v in tree.items():
             if isinstance(v, dict):
-                out[k] = rand_stats(v)
+                out[k] = rand_stats(v, counter)
             else:
-                key[0] += 1
-                r = np.random.default_rng(key[0])
+                counter[0] += 1
+                r = np.random.default_rng(counter[0])
                 if k == "mean":
                     out[k] = jnp.asarray(
                         r.normal(0, 0.1, v.shape).astype(np.float32))
@@ -47,7 +47,7 @@ def float_model_and_vars():
         return out
 
     variables = {"params": variables["params"],
-                 "batch_stats": rand_stats(stats)}
+                 "batch_stats": rand_stats(variables["batch_stats"], [0])}
     return model, variables, x
 
 
