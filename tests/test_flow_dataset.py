@@ -55,13 +55,18 @@ class TestFlowPairDataset:
         assert (fl == 2).all()
 
     def test_mismatched_sequence_raises(self, tmp_path):
+        # 3 frames need exactly 2 .flo files; give 1 so the COUNT-mismatch
+        # guard itself raises (1 frame + 0 flos would pass that guard and
+        # only trip the later empty-dataset error — review finding)
         frames = tmp_path / "frames"
         flows = tmp_path / "flow"
         frames.mkdir()
         flows.mkdir()
-        save_image(str(frames / "0.png"),
-                   np.zeros((8, 8, 3), np.uint8))
-        with pytest.raises(ValueError):
+        for t in range(3):
+            save_image(str(frames / f"{t}.png"),
+                       np.zeros((8, 8, 3), np.uint8))
+        write_flo(str(flows / "000.flo"), np.zeros((8, 8, 2), np.float32))
+        with pytest.raises(ValueError, match="want n_frames"):
             FlowPairDataset(frames_dir=str(frames), flow_dir=str(flows))
 
     def test_center_crop_eval(self, tmp_path):
@@ -97,6 +102,13 @@ class TestFlowPairDataset:
         assert len(bs) == 2
         assert all(b["im1"].shape == (2, 64, 96, 3) for b in bs)
         assert all(b["flow"].dtype == np.float32 for b in bs)
+        # ragged tail: n_real reports the unpadded count and the pad row
+        # is the cyclic tile of the (unshuffled) order, i.e. sample 0 —
+        # a zero-pad or wrong n_real would corrupt validation EPE
+        assert bs[0]["n_real"] == 2 and bs[1]["n_real"] == 1
+        im1_0, _, fl_0 = ds[0]
+        np.testing.assert_array_equal(bs[1]["im1"][1], im1_0)
+        np.testing.assert_array_equal(bs[1]["flow"][1], fl_0)
         # drop_last drops the ragged tail instead
         assert len(list(flow_batches(ds, 2, shuffle=False,
                                      drop_last=True))) == 1

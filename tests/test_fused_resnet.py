@@ -135,6 +135,7 @@ def test_fused_adapter_pads_ragged_batch(rng):
     fused_vars = prepare_fused_variables(v, 50)
     adapter = FusedPoseAdapter(MODEL_CFG, use_pallas=True, interpret=True)
     got3 = np.asarray(adapter.apply(fused_vars, x, train=False))
+    assert got3.shape[0] == 3  # the padded batch must be SLICED back
     got1 = np.asarray(adapter.apply(fused_vars, x[:1], train=False))
     np.testing.assert_allclose(got3[:1], got1, rtol=0, atol=1e-5)
 

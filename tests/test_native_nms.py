@@ -63,10 +63,10 @@ def test_cpu_nms_tie_order_matches_numpy():
                         [0, 0, 10, 10, 0.7],
                         [50, 50, 60, 60, 0.7]], np.float32)
     got = native.cpu_nms(boxes, 0.5)
-    want = list(nms_boxes_np(boxes, 0.5))
-    assert got == want
-    assert got[0] == 2 or got[0] == 1  # ordering by (score desc, idx desc)
-    assert 0 not in got  # the lower-index duplicate is suppressed
+    assert got == list(nms_boxes_np(boxes, 0.5))
+    # (score desc, idx desc): the disjoint box 2 first, then box 1 of the
+    # duplicate pair (highest index on the tie); box 0 suppressed
+    assert got == [2, 1]
 
 
 def test_cpu_nms_quantized_scores_match_numpy(rng):

@@ -38,7 +38,10 @@ def cli_setup(tmp_path_factory):
     return tmp_path, root
 
 
-def run_cli(tmp_path, root, monkeypatch, capsys, out_dir, *extra):
+def run_cli(tmp_path, root, monkeypatch, out_dir, *extra):
+    import contextlib
+    import io
+
     from tools import track
 
     monkeypatch.setattr(sys, "argv", [
@@ -51,28 +54,41 @@ def run_cli(tmp_path, root, monkeypatch, capsys, out_dir, *extra):
         "flow.dtype=float32", "track.pose_score_thre=0.0",
         f"data.root={root}", "data.test_set=val",
     ])
-    track.main()
-    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        track.main()
+    stats = json.loads(buf.getvalue().strip().splitlines()[-1])
     tracks = json.load(open(tmp_path / out_dir / "tracks.json"))
     return stats, tracks["annotations"]
 
 
-def test_track_main(cli_setup, monkeypatch, capsys):
+@pytest.fixture(scope="module")
+def stream_run(cli_setup):
+    """ONE streaming-engine run shared by both tests (it jit-compiles the
+    full pose+flow pipeline — the module's dominant cost)."""
     tmp_path, root = cli_setup
-    stats, anns = run_cli(tmp_path, root, monkeypatch, capsys, "out")
+    mp = pytest.MonkeyPatch()
+    try:
+        return run_cli(tmp_path, root, mp, "out_s")
+    finally:
+        mp.undo()
+
+
+def test_track_main(stream_run):
+    stats, anns = stream_run
     assert "MOTA" in stats and "mAP" in stats
     assert len(anns) > 0  # poses survived score gating
 
 
-def test_track_main_clip_engine_matches_stream(cli_setup, monkeypatch,
-                                               capsys):
+def test_track_main_clip_engine_matches_stream(cli_setup, stream_run,
+                                               monkeypatch):
     """--engine clip (ClipTracker over 2-frame clips, cross-clip seed
     carry active at the 1-frame overlaps) produces the same eval stats
     and per-frame pose count as the streaming engine on the same fixture
     and weights."""
     tmp_path, root = cli_setup
-    stream, s_anns = run_cli(tmp_path, root, monkeypatch, capsys, "out_s")
-    clip, c_anns = run_cli(tmp_path, root, monkeypatch, capsys, "out_c",
+    stream, s_anns = stream_run
+    clip, c_anns = run_cli(tmp_path, root, monkeypatch, "out_c",
                            "--engine", "clip", "--clip-len", "2")
     assert len(c_anns) == len(s_anns)
     for k in ("num_misses", "num_switches", "num_fps"):
