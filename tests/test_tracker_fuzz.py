@@ -162,9 +162,10 @@ def run_oracle(cfg, frames, det_boxes, det_scores):
 
 
 def test_fuzz_three_implementations_agree():
-    """12 seeded random ragged scenarios: identical id partitions from the
-    streaming tracker, the clip tracker and the torch oracle (default
-    config: budget pressure unreachable, dropouts < max_miss_age)."""
+    """24 seeded random ragged scenarios: identical id partitions from the
+    streaming tracker, the clip tracker (plain AND chunked pose path) and
+    the torch oracle (default config: budget pressure unreachable,
+    dropouts < max_miss_age). One jit compile covers all scenarios."""
     cfg = make_cfg()
     tracker = default_tracker()
     # the memory-capping chunked pose path must be glue-equivalent too
@@ -173,7 +174,7 @@ def test_fuzz_three_implementations_agree():
     chunked = ClipTracker(chunked_cfg, StubPose(), {}, StubFlow(), {})
     rng = np.random.default_rng(1234)
     f = 6  # fixed clip length: one jit compile for all scenarios
-    for i in range(12):
+    for i in range(24):
         det_boxes, det_scores, present, center, n_p = random_scenario(
             rng, f)
         if not any(any(p) for p in present):
