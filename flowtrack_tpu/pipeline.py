@@ -80,8 +80,9 @@ class PosePredictor:
                 hm = merge_flip_test(hm[:p], hm[p:], flip_pairs, shift=shift)
             else:
                 hm = self.model.apply(variables, crops, train=False)
-            preds, maxvals = get_final_preds(hm, centers, scales,
-                                             post_process=post)
+            preds, maxvals = get_final_preds(
+                hm, centers, scales, post_process=post,
+                blur_kernel=cfg.test.blur_kernel)
             return preds, maxvals, rescore(scores, maxvals, vis_thre)
 
         # one jit object is enough: nothing shape-dependent is closed

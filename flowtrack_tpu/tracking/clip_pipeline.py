@@ -190,7 +190,8 @@ class ClipTracker:
                                 crops, pose_chunk)
             preds, maxvals = get_final_preds(
                 hm, centers_flat, scales_flat,
-                post_process=cfg.test.post_process)
+                post_process=cfg.test.post_process,
+                blur_kernel=cfg.test.blur_kernel)
             scores = rescore(det_scores_flat, maxvals, cfg.test.in_vis_thre)
             return preds, maxvals, scores
 

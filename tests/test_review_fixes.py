@@ -403,3 +403,47 @@ def test_frame_paths_accepts_ppm(tmp_path):
     (tmp_path / "notes.txt").write_bytes(b"x")
     names = [os.path.basename(p) for p in frame_paths(str(tmp_path))]
     assert names == ["0001.ppm", "0002.png"]
+
+
+def test_blur_kernel_wired_into_tracker_paths(monkeypatch):
+    """cfg.test.blur_kernel must reach get_final_preds in the tracker
+    pipelines too (it was honored only in validate/test — a silent config
+    no-op in PosePredictor and ClipTracker)."""
+    from dataclasses import replace
+
+    import flowtrack_tpu.pipeline as pl
+    import flowtrack_tpu.tracking.clip_pipeline as cp
+    from tests.test_clip_pipeline import StubFlow, StubPose, make_cfg
+    from flowtrack_tpu.tracking.clip_pipeline import (ClipTracker,
+                                                      pad_detections)
+
+    base = make_cfg()
+    cfg = replace(base, test=replace(base.test, blur_kernel=3))
+
+    seen_cp, seen_pl = [], []
+    orig_cp, orig_pl = cp.get_final_preds, pl.get_final_preds
+
+    def spy_cp(*a, **k):
+        seen_cp.append(k.get("blur_kernel", 0))
+        return orig_cp(*a, **k)
+
+    def spy_pl(*a, **k):
+        seen_pl.append(k.get("blur_kernel", 0))
+        return orig_pl(*a, **k)
+
+    monkeypatch.setattr(cp, "get_final_preds", spy_cp)
+    monkeypatch.setattr(pl, "get_final_preds", spy_pl)
+
+    tracker = ClipTracker(cfg, StubPose(), {}, StubFlow(), {})
+    frames = np.zeros((2, 64, 96, 3), np.float32)
+    db, dsc, dv = pad_detections([[[10, 10, 20, 20]]] * 2, [[0.9]] * 2,
+                                 cfg.track.max_persons)
+    tracker.track_clip(frames, db, dsc, dv)
+    assert seen_cp and all(b == 3 for b in seen_cp), seen_cp
+
+    from flowtrack_tpu.pipeline import PosePredictor
+
+    pred = PosePredictor(cfg, {}, model=StubPose())
+    pred(frames[0], np.asarray([[10.0, 10.0, 20.0, 20.0]]),
+         np.asarray([0.9]))
+    assert seen_pl and all(b == 3 for b in seen_pl), seen_pl
