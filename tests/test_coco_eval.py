@@ -172,3 +172,54 @@ def test_max_dets_cap():
     dts.append(dt_ann(0, kp, 0.01))  # the real one, ranked below the cap
     stats = COCOKeypointEval(gts, dts).evaluate()
     assert np.isclose(stats["AR"], 0.0)  # capped out by 20 FPs
+
+
+def _random_scenario(rng, n_images=4):
+    """Random mixed scenario: per image 0-3 GTs, detections = noisy copies
+    of random GTs + pure spurious poses, distinct random scores."""
+    gts, dts = [], []
+    for img in range(n_images):
+        centers = [(80 + 120 * g + rng.uniform(-5, 5),
+                    90 + rng.uniform(-20, 20))
+                   for g in range(int(rng.integers(0, 4)))]
+        for cx, cy in centers:
+            gts.append(gt_ann(img, make_pose(cx, cy),
+                              area=float(rng.uniform(32, 128)) ** 2))
+        for _ in range(int(rng.integers(0, 5))):
+            if centers and rng.random() < 0.7:
+                cx, cy = centers[int(rng.integers(len(centers)))]
+                jitter = float(rng.uniform(0, 15))
+                kp = make_pose(cx + jitter, cy - jitter / 2)
+            else:
+                kp = make_pose(float(rng.uniform(0, 600)),
+                               float(rng.uniform(0, 600)))
+            dts.append(dt_ann(img, kp, float(rng.uniform(0.05, 0.99))))
+    return gts, dts
+
+
+def test_detection_order_invariance(rng):
+    """The evaluator must rank by score, not input order: shuffling the
+    detection list cannot change any statistic."""
+    for trial in range(5):
+        gts, dts = _random_scenario(rng)
+        if not gts or not dts:
+            continue
+        base = COCOKeypointEval(gts, dts).evaluate()
+        perm = [dts[i] for i in rng.permutation(len(dts))]
+        got = COCOKeypointEval(gts, perm).evaluate()
+        for k, v in base.items():
+            assert np.isclose(got[k], v), (trial, k, got[k], v)
+
+
+def test_score_monotonic_transform_invariance(rng):
+    """AP/AR are rank statistics: any strictly increasing score transform
+    leaves every number unchanged."""
+    for trial in range(5):
+        gts, dts = _random_scenario(rng)
+        if not gts or not dts:
+            continue
+        base = COCOKeypointEval(gts, dts).evaluate()
+        squeezed = [{**d, "score": 0.5 * d["score"] + 0.25} for d in dts]
+        got = COCOKeypointEval(gts, squeezed).evaluate()
+        for k, v in base.items():
+            assert np.isclose(got[k], v), (trial, k, got[k], v)
