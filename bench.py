@@ -898,7 +898,7 @@ def main():
                       file=sys.stderr)
                 oracle = None
 
-    flip = "no-flip" if os.environ.get("BENCH_FLIP") == "0" else "flip-test"
+    flip = "flip-test" if oracle_flip else "no-flip"
     nstreams = extras.get("batched_streams", 1)
     streams = f"{nstreams} batched streams, " if nstreams > 1 else ""
     out = {

@@ -20,6 +20,7 @@ from collections import defaultdict
 from typing import Dict, Optional
 
 import jax
+import jax.numpy as jnp
 
 
 @contextlib.contextmanager
@@ -62,8 +63,6 @@ class StageTimer:
             if outputs:
                 jax.block_until_ready(outputs)
             else:
-                import jax.numpy as jnp
-
                 jax.block_until_ready(jnp.zeros(()) + 0.0)
         self.totals[name] += time.perf_counter() - t0
         self.counts[name] += 1

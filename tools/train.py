@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import argparse
 import logging
+import os
 import time
 
 import numpy as np
@@ -24,6 +25,7 @@ from flowtrack_tpu.engine.metrics import AverageMeter
 from flowtrack_tpu.engine.train import (
     create_train_state,
     make_jit_train_step,
+    make_lr_schedule,
 )
 from flowtrack_tpu.models.pose_resnet import get_pose_net
 from flowtrack_tpu.parallel import batch_sharding, make_mesh, replicated
@@ -101,8 +103,6 @@ def main():
 
     cfg = apply_overrides(get_config(args.cfg), args.opts)
     ckpt_dir = args.out or cfg.train.checkpoint_dir
-    import os
-
     mwriter = MetricsWriter(os.path.join(ckpt_dir, "metrics.jsonl"),
                             tensorboard_dir=args.tensorboard)
 
@@ -175,8 +175,8 @@ def main():
             log.warning("validation skipped: %s", e)
         best = max(best, perf)
         mgr.save(epoch, state, perf=perf)
-        lr = cfg.train.lr * cfg.train.lr_factor ** sum(
-            epoch >= m for m in cfg.train.lr_steps)
+        # the REAL optimizer schedule, not a re-derivation of it
+        lr = float(make_lr_schedule(cfg, steps_per_epoch)(int(state.step)))
         mwriter.write(epoch, train_loss=losses.avg, train_acc=accs.avg,
                       val_perf=perf, best_perf=best, lr=lr)
         log.info("epoch %d done: loss %.5f perf %.4f (best %.4f)",

@@ -21,6 +21,7 @@ from __future__ import annotations
 import argparse
 import json
 import logging
+import os
 import time
 
 import numpy as np
@@ -75,8 +76,6 @@ def main():
     setup_logging()
 
     cfg = apply_overrides(get_config(args.cfg), args.opts)
-    import os
-
     metrics = MetricsWriter(
         os.path.join(args.ckpt_dir or
                      os.path.dirname(os.path.abspath(args.out)) or ".",
