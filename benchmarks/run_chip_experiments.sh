@@ -30,4 +30,11 @@ run b4_chunked env BENCH_CFG=coco_res152_384x288 BENCH_FLOW=flownet2 \
 # 5. re-validate the repaired BENCH_ACCURACY=train mode on-chip
 run accuracy_train env BENCH_ACCURACY=train timeout 3000 python bench.py
 
+# 6. refresh the per-config matrix capture with the current code
+echo "== matrix refresh" >&2
+env BENCH_MATRIX=1 timeout 4800 python bench.py \
+  > /root/repo/BENCH_MATRIX_r03.jsonl.new 2>>/tmp/chip_step_err.log \
+  && grep -c '"config"' /root/repo/BENCH_MATRIX_r03.jsonl.new >&2 \
+  || echo "matrix refresh failed" >&2
+
 echo "done: $LOG" >&2
