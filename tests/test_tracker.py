@@ -288,6 +288,23 @@ class TestPoseTrackEvalBackends:
             seq_pred.append(preds)
         return seq_gt, seq_pred
 
+    def test_order_invariance_within_frames(self):
+        """Shuffling predicted poses within each frame must not change any
+        statistic (matching is PCKh/score-ranked, not input-ordered) — for
+        BOTH evaluator backends."""
+        from flowtrack_tpu.eval.posetrack_eval import evaluate_posetrack_mot
+
+        rng = np.random.default_rng(7)
+        for trial in range(10):
+            seq_gt, seq_pred = self._random_scenario(rng, trial % 2 == 0)
+            shuffled = [[fr[i] for i in rng.permutation(len(fr))]
+                        for fr in seq_pred]
+            for fn in (evaluate_posetrack, evaluate_posetrack_mot):
+                a, b = fn([seq_gt], [seq_pred]), fn([seq_gt], [shuffled])
+                for k in ("MOTA", "mAP", "num_misses", "num_switches",
+                          "num_fps"):
+                    assert np.isclose(a[k], b[k]), (trial, fn.__name__, k)
+
     def test_differential_200_scenarios(self):
         from flowtrack_tpu.eval.posetrack_eval import (
             evaluate_posetrack_mot,
