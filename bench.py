@@ -198,10 +198,14 @@ def run_clip_bench(cfg_name=None, flow_variant=None):
         flow_net = FlowNetS(dtype=jnp.bfloat16)
     rngk = jax.random.PRNGKey(0)
     quant_mode = os.environ.get("BENCH_QUANT", "")
-    if quant_mode in ("folded", "1", "mixed", "pre"):
-        # the quant paths below init their own fp32 net and replace
-        # pose_vars unconditionally — skip the multi-minute bf16 relay
-        # init they would discard (review finding)
+    # skip the multi-minute bf16 relay init ONLY when the branch that will
+    # actually execute replaces pose_vars with its own fp32 init — the
+    # elif chain below gives BENCH_FUSED priority over the int8 modes, and
+    # the fused path CONSUMES pose_vars
+    quant_replaces = (quant_mode == "folded"
+                      or (quant_mode in ("1", "mixed", "pre")
+                          and os.environ.get("BENCH_FUSED") != "1"))
+    if quant_replaces:
         pose_vars = None
     else:
         pose_vars = jax.jit(pose.init, static_argnames="train")(
@@ -864,6 +868,11 @@ def main():
     bench_model = get_config(BENCH_CFG).model
     ih, iw = bench_model.image_size
     oracle_flip = os.environ.get("BENCH_FLIP") != "0"
+    if mode != "clip":
+        # the legacy per-frame step (run_tpu_bench) runs at the module's
+        # fixed 256x192 with flip always fused in — the denominator and
+        # the unit string must describe THAT workload, not BENCH_CFG's
+        ih, iw, oracle_flip = H, W, True
     oracle = None
     # the cache key must pin the FULL measurement geometry — a cached
     # 8-person res50 denominator must not vouch for a 16-person or

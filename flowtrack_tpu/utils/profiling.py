@@ -41,13 +41,15 @@ class StageTimer:
 
     With ``sync=True`` the stage blocks until the device work it dispatched
     has actually finished, so the stage is charged its real cost instead of
-    the ~0 ms async-dispatch time. The context manager yields a list: append
-    the stage's device outputs to it for a precise ``block_until_ready``
-    sync (``with t.stage("pose") as out: out.append(f(x))``). If nothing is
-    appended, a trivial program is enqueued and awaited — TPU executes
-    programs in order per device, so that drains everything dispatched
-    before it. (``jax.effects_barrier()`` is NOT a device sync: it only
-    awaits effect tokens, which pure jitted programs never create.)"""
+    the ~0 ms async-dispatch time. The sync always drains the default
+    device behind a tiny enqueued program (TPU executes programs in order;
+    on this machine's relay ``block_until_ready`` on LARGE outputs can
+    return early — CLAUDE.md — so the small-program drain is the reliable
+    primitive). The context manager also yields a list: append the stage's
+    device outputs (``with t.stage("pose") as out: out.append(f(x))``) to
+    additionally await work on non-default devices.
+    (``jax.effects_barrier()`` is NOT a device sync: it only awaits effect
+    tokens, which pure jitted programs never create.)"""
 
     def __init__(self, sync: bool = False):
         self.sync = sync
@@ -62,8 +64,13 @@ class StageTimer:
         if self.sync:
             if outputs:
                 jax.block_until_ready(outputs)
-            else:
-                jax.block_until_ready(jnp.zeros(()) + 0.0)
+            # ALWAYS also await a tiny enqueued program: this machine's
+            # relay can return early from block_until_ready on LARGE
+            # outputs (CLAUDE.md), and TPU executes programs in order per
+            # device, so draining behind a small program is the reliable
+            # sync either way; the outputs path still covers work on
+            # non-default devices.
+            jax.block_until_ready(jnp.zeros(()) + 0.0)
         self.totals[name] += time.perf_counter() - t0
         self.counts[name] += 1
 
