@@ -1,0 +1,198 @@
+"""Multi-stream serving: N independent video streams, ONE device program.
+
+The headline bench's multi-stream layout (``ClipTracker.track_clips`` —
+clips vmapped on a leading batch dim) packaged as a usable component.
+Measured on v5e-1: batching independent streams' clips into one program
+lifts throughput 424 -> 477 f/s (the pose/flow nets are batch-bound at
+their small-spatial deep layers; benchmarks/probe_flownet.py), so a server
+holding several streams should track them together rather than
+round-robining single-clip calls.
+
+Usage:
+    mst = MultiStreamTracker(tracker, clip_len=64, batch_streams=6)
+    mst.submit(sid, frame, boxes, scores)   # per stream, per frame
+    for sid, frame_idx, tracks in mst.step():   # when >=1 clip is ready
+        ...
+    ... mst.flush()                          # ragged tails at shutdown
+
+Semantics are identical to running ``utils/video.track_video_clips`` on
+each stream separately (pinned by test): consecutive clips of one stream
+overlap by one frame and the stream's live-track state (poses / GLOBAL
+ids / miss ages / next-id counter) carries across its own clips as a
+device-resident seed, so ids survive clip boundaries — including a person
+occluded exactly at one. Streams share nothing: ids are per-stream.
+
+Reference parity note: the reference (SURVEY.md section 4.4) serves one
+video at a time with a sequential per-frame loop; multi-stream batching is
+a TPU-native addition on top of the same per-stream contract.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Hashable, List, Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from flowtrack_tpu.tracking.clip_pipeline import ClipTracker, pad_detections
+
+
+def tracks_of_frame(out: Dict[str, np.ndarray], t: int) -> List[dict]:
+    """track_clip output dict -> the per-frame track list emitted to users
+    (same shape as utils/video.track_video_clips results)."""
+    items = []
+    for s in range(out["valid"].shape[1]):
+        if out["valid"][t, s]:
+            items.append({"track_id": int(out["ids"][t, s]),
+                          "joints": out["joints"][t, s],
+                          "maxvals": out["maxvals"][t, s],
+                          "score": float(out["scores"][t, s])})
+    return items
+
+
+class MultiStreamTracker:
+    """Batch independent streams' ready clips into one ClipTracker call.
+
+    ``batch_streams`` ready clips run per device call (fewer only when
+    ``step(force=True)`` drains a partial set — each distinct batch size
+    compiles once, so keep ``force`` for shutdown/latency escapes).
+    ``sharding`` (e.g. ``parallel.batch_sharding(mesh)``) splits the clip
+    axis across a mesh — the multi-chip serving layout."""
+
+    def __init__(self, tracker: ClipTracker, clip_len: int = 64,
+                 batch_streams: int = 4, sharding=None):
+        if clip_len < 2:
+            raise ValueError("clip_len must be >= 2 (1-frame clip overlap)")
+        self.tracker = tracker
+        self.clip_len = clip_len
+        self.batch_streams = batch_streams
+        self.sharding = sharding
+        self.max_persons = tracker.max_persons
+        # per-stream state
+        self._frames: Dict[Hashable, list] = {}   # buffered (frame, b, s)
+        self._seed: Dict[Hashable, tuple] = {}    # device seed tuple
+        self._emitted: Dict[Hashable, int] = {}   # frames emitted so far
+
+    # -- ingestion ---------------------------------------------------------
+
+    def submit(self, stream_id: Hashable, frame: np.ndarray,
+               boxes, scores) -> None:
+        """Buffer one frame + its detections for a stream. ``boxes``:
+        (P, 4) xywh (possibly empty); ``scores``: (P,)."""
+        self._frames.setdefault(stream_id, []).append(
+            (frame, list(boxes), list(scores)))
+        self._emitted.setdefault(stream_id, 0)
+        self._seed.setdefault(stream_id, None)
+
+    def _need(self, sid) -> int:
+        """Buffered frames needed for the next clip: the first clip is
+        clip_len frames; later clips re-use the previous clip's last frame
+        as their frame 0 (the 1-frame overlap of utils/video.clip_spans),
+        so they need clip_len buffered including that overlap frame."""
+        return self.clip_len
+
+    def ready(self) -> List[Hashable]:
+        return [sid for sid, buf in self._frames.items()
+                if len(buf) >= self._need(sid)]
+
+    # -- device step -------------------------------------------------------
+
+    def _clip_args(self, sid):
+        buf = self._frames[sid][:self.clip_len]
+        frames = np.stack([np.asarray(f) for f, _, _ in buf])
+        db, dsc, dv = pad_detections([b for _, b, _ in buf],
+                                     [s for _, _, s in buf],
+                                     self.max_persons)
+        # global frame index of this clip's frame 0 (keyframe cadence)
+        first_global = self._emitted[sid] - (1 if self._seed[sid] is not None
+                                             else 0)
+        return self.tracker.prepare(frames, db, dsc, dv,
+                                    frame_offset=first_global)
+
+    def _consume(self, sid, out) -> Tuple[int, List[List[dict]]]:
+        """Advance the stream past the tracked clip; return the emitted
+        frames (skipping the overlap duplicate for non-first clips)."""
+        skip = 1 if self._emitted[sid] > 0 else 0
+        start_global = self._emitted[sid]
+        tracks = [tracks_of_frame(out, t)
+                  for t in range(skip, out["valid"].shape[0])]
+        self._emitted[sid] += len(tracks)
+        # keep the clip's LAST frame as the next clip's overlap frame 0
+        self._frames[sid] = self._frames[sid][self.clip_len - 1:]
+        return start_global, tracks
+
+    def step(self, force: bool = False):
+        """Track up to ``batch_streams`` ready clips in one device call.
+
+        Returns a list of (stream_id, first_frame_index, per_frame_tracks)
+        for every clip tracked this step ([] if nothing was ready, or when
+        fewer than batch_streams streams are ready and ``force`` is off)."""
+        sids = self.ready()
+        if not sids or (len(sids) < self.batch_streams and not force):
+            return []
+        sids = sids[:self.batch_streams]
+        if len(sids) == 1:
+            # no batching needed; the single-clip program is already warm
+            out_dev = self.tracker.run_prepared(self._clip_args(sids[0]),
+                                                seed=self._seed[sids[0]])
+            self._seed[sids[0]] = out_dev[5]
+            out = self.tracker.to_host(out_dev)
+            first, tracks = self._consume(sids[0], out)
+            return [(sids[0], first, tracks)]
+
+        per_stream = [self._clip_args(sid) for sid in sids]
+        args = [jnp.stack([p[j] for p in per_stream]) for j in range(7)]
+        empty = self.tracker.empty_seed()
+        seeds = [self._seed[sid] if self._seed[sid] is not None else empty
+                 for sid in sids]
+        args += [jnp.stack([s[j] for s in seeds]) for j in range(6)]
+        if self.sharding is not None:
+            args = [jax.device_put(a, self.sharding) for a in args[:7]] \
+                + args[7:]
+        out_dev = self.tracker._clips_fn(self.tracker.pose_vars,
+                                         self.tracker.flow_vars, *args)
+        results = []
+        for i, sid in enumerate(sids):
+            # per-lane seed slices stay device-side
+            self._seed[sid] = tuple(leaf[i] for leaf in out_dev[5])
+            out_i = self.tracker.to_host(
+                tuple(leaf[i] for leaf in out_dev[:5]) + (None,))
+            first, tracks = self._consume(sid, out_i)
+            results.append((sid, first, tracks))
+        return results
+
+    def flush(self):
+        """Track every stream's ragged tail (padded clip, exact ragged
+        semantics via frame_valid + budget_frames) and drop its state.
+        Returns the same (stream_id, first_frame_index, tracks) list."""
+        results = []
+        for sid in list(self._frames):
+            buf = self._frames[sid]
+            skip = 1 if self._emitted[sid] > 0 else 0
+            if len(buf) <= skip:       # only the overlap frame left
+                del self._frames[sid], self._seed[sid], self._emitted[sid]
+                continue
+            real = len(buf)
+            pad = self.clip_len - real
+            frames = np.stack([np.asarray(f) for f, _, _ in buf])
+            boxes = [b for _, b, _ in buf]
+            scores = [s for _, _, s in buf]
+            if pad > 0:
+                frames = np.concatenate(
+                    [frames, np.repeat(frames[-1:], pad, axis=0)])
+                boxes += [[]] * pad
+                scores += [[]] * pad
+            db, dsc, dv = pad_detections(boxes, scores, self.max_persons)
+            fv = np.arange(len(frames)) < real
+            first_global = self._emitted[sid] - skip
+            args = self.tracker.prepare(frames, db, dsc, dv, fv,
+                                        frame_offset=first_global)
+            out_dev = self.tracker.run_prepared(
+                args, budget_frames=real if pad > 0 else None,
+                seed=self._seed[sid])
+            out = self.tracker.to_host(out_dev)
+            tracks = [tracks_of_frame(out, t) for t in range(skip, real)]
+            results.append((sid, self._emitted[sid], tracks))
+            del self._frames[sid], self._seed[sid], self._emitted[sid]
+        return results

@@ -1,0 +1,118 @@
+"""MultiStreamTracker: batched multi-stream serving must be per-stream
+IDENTICAL to utils/video.track_video_clips on each stream separately —
+including cross-clip id continuity through a detector miss exactly at a
+clip boundary, ragged tails, and interleaved stream arrival."""
+
+import numpy as np
+
+from flowtrack_tpu.serving import MultiStreamTracker
+from flowtrack_tpu.utils.video import track_video_clips
+from tests.test_clip_pipeline import VEL, StubFlow, StubPose, make_cfg
+from flowtrack_tpu.tracking.clip_pipeline import ClipTracker
+
+H, W = 128, 160
+CLIP = 4
+
+
+def scenario_a(n):
+    """One person; detection dropped EXACTLY at the t=3 clip boundary."""
+    frames = np.zeros((n, H, W, 3), np.float32)
+    boxes, scores = [], []
+    for t in range(n):
+        ax, ay = 30 + VEL[0] * t, 35 + VEL[1] * t
+        if t == CLIP - 1:  # the overlap/boundary frame
+            boxes.append([])
+            scores.append([])
+        else:
+            boxes.append([[ax - 12, ay - 12, 24, 24]])
+            scores.append([0.9])
+    return frames, boxes, scores
+
+
+def scenario_b(n):
+    """Two persons, the second appears at t=2."""
+    frames = np.zeros((n, H, W, 3), np.float32)
+    boxes, scores = [], []
+    for t in range(n):
+        ax, ay = 20 + VEL[0] * t, 25 + VEL[1] * t
+        bs = [[ax - 12, ay - 12, 24, 24]]
+        sc = [0.9]
+        if t >= 2:
+            bx, by = 90 + VEL[0] * (t - 2), 60 + VEL[1] * (t - 2)
+            bs.append([bx - 12, by - 12, 24, 24])
+            sc.append(0.85)
+        boxes.append(bs)
+        scores.append(sc)
+    return frames, boxes, scores
+
+
+def reference_stream(tracker, frames, boxes, scores):
+    return track_video_clips(tracker, frames, boxes, scores, clip_len=CLIP)
+
+
+def ids_and_joints(per_frame):
+    return ([sorted(tr["track_id"] for tr in fr) for fr in per_frame],
+            [np.sort(np.stack([tr["joints"].mean(0) for tr in fr]), axis=0)
+             if fr else np.zeros((0, 2)) for fr in per_frame])
+
+
+def test_multistream_matches_per_stream_reference():
+    cfg = make_cfg()
+    tracker = ClipTracker(cfg, StubPose(), {}, StubFlow(), {})
+    n = 10  # clips [0..3], [3..6], [6..9] + no tail; then 11 with a tail
+    for n in (10, 11):
+        fa, ba, sa = scenario_a(n)
+        fb, bb, sb = scenario_b(n)
+        want_a = reference_stream(tracker, fa, ba, sa)
+        want_b = reference_stream(tracker, fb, bb, sb)
+
+        mst = MultiStreamTracker(tracker, clip_len=CLIP, batch_streams=2)
+        got = {"A": [None] * n, "B": [None] * n}
+        emitted = []
+        # interleave arrival: A leads by 2 frames
+        for t in range(n + 2):
+            if t < n:
+                mst.submit("A", fa[t], ba[t], sa[t])
+            if 2 <= t < n + 2:
+                mst.submit("B", fb[t - 2], bb[t - 2], sb[t - 2])
+            emitted += mst.step()
+        emitted += mst.flush()
+        for sid, first, tracks in emitted:
+            for i, fr in enumerate(tracks):
+                got[sid][first + i] = fr
+
+        for sid, want in (("A", want_a), ("B", want_b)):
+            assert all(fr is not None for fr in got[sid]), (n, sid)
+            want_ids, want_cj = ids_and_joints(want)
+            got_ids, got_cj = ids_and_joints(got[sid])
+            assert got_ids == want_ids, (n, sid, got_ids, want_ids)
+            for t in range(n):
+                np.testing.assert_allclose(got_cj[t], want_cj[t],
+                                           atol=1e-4, err_msg=f"{sid}:{t}")
+
+        # the boundary-occluded person in A keeps ONE global id throughout
+        a_ids = {tr["track_id"] for fr in got["A"] for tr in fr}
+        assert len(a_ids) == 1, a_ids
+
+
+def test_single_ready_stream_with_force():
+    cfg = make_cfg()
+    tracker = ClipTracker(cfg, StubPose(), {}, StubFlow(), {})
+    n = 6
+    fa, ba, sa = scenario_b(n)
+    want = reference_stream(tracker, fa, ba, sa)
+
+    mst = MultiStreamTracker(tracker, clip_len=CLIP, batch_streams=4)
+    for t in range(n):
+        mst.submit("solo", fa[t], ba[t], sa[t])
+        assert mst.step() == []  # 1 ready stream < batch_streams, no force
+    out = mst.step(force=True)  # single-stream path
+    out += mst.flush()
+    got = [None] * n
+    for _, first, tracks in out:
+        for i, fr in enumerate(tracks):
+            got[first + i] = fr
+    assert all(fr is not None for fr in got)
+    w_ids, _ = ids_and_joints(want)
+    g_ids, _ = ids_and_joints(got)
+    assert g_ids == w_ids
