@@ -116,3 +116,39 @@ def test_single_ready_stream_with_force():
     w_ids, _ = ids_and_joints(want)
     g_ids, _ = ids_and_joints(got)
     assert g_ids == w_ids
+
+
+def test_multistream_sharded_matches_unsharded():
+    """serving with the clip axis sharded over a 2-device submesh must
+    equal the unsharded batched run (the multi-chip serving layout)."""
+    from flowtrack_tpu.parallel import batch_sharding, make_mesh
+
+    cfg = make_cfg()
+    tracker = ClipTracker(cfg, StubPose(), {}, StubFlow(), {})
+    n = 7
+    fa, ba, sa = scenario_a(n)
+    fb, bb, sb = scenario_b(n)
+
+    def run(sharding):
+        mst = MultiStreamTracker(tracker, clip_len=CLIP, batch_streams=2,
+                                 sharding=sharding)
+        got = {"A": [None] * n, "B": [None] * n}
+        em = []
+        for t in range(n):
+            mst.submit("A", fa[t], ba[t], sa[t])
+            mst.submit("B", fb[t], bb[t], sb[t])
+            em += mst.step()
+        em += mst.flush()
+        for sid, first, tracks in em:
+            for i, fr in enumerate(tracks):
+                got[sid][first + i] = fr
+        return got
+
+    want = run(None)
+    got = run(batch_sharding(make_mesh(2)))
+    for sid in ("A", "B"):
+        w_ids, w_cj = ids_and_joints(want[sid])
+        g_ids, g_cj = ids_and_joints(got[sid])
+        assert g_ids == w_ids, sid
+        for t in range(n):
+            np.testing.assert_allclose(g_cj[t], w_cj[t], atol=1e-4)
