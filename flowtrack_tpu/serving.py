@@ -122,6 +122,15 @@ class MultiStreamTracker:
         self._frames[sid] = self._frames[sid][self.clip_len - 1:]
         return start_global, tracks
 
+    def _run_single(self, sid):
+        """Track ONE full clip of one stream via the (already warm)
+        single-clip program; returns its (sid, first, tracks) emission."""
+        out_dev = self.tracker.run_prepared(self._clip_args(sid),
+                                            seed=self._seed[sid])
+        self._seed[sid] = out_dev[5]
+        first, tracks = self._consume(sid, self.tracker.to_host(out_dev))
+        return sid, first, tracks
+
     def step(self, force: bool = False):
         """Track up to ``batch_streams`` ready clips in one device call.
 
@@ -133,13 +142,7 @@ class MultiStreamTracker:
             return []
         sids = sids[:self.batch_streams]
         if len(sids) == 1:
-            # no batching needed; the single-clip program is already warm
-            out_dev = self.tracker.run_prepared(self._clip_args(sids[0]),
-                                                seed=self._seed[sids[0]])
-            self._seed[sids[0]] = out_dev[5]
-            out = self.tracker.to_host(out_dev)
-            first, tracks = self._consume(sids[0], out)
-            return [(sids[0], first, tracks)]
+            return [self._run_single(sids[0])]
 
         per_stream = [self._clip_args(sid) for sid in sids]
         args = [jnp.stack([p[j] for p in per_stream]) for j in range(7)]
@@ -147,49 +150,57 @@ class MultiStreamTracker:
         seeds = [self._seed[sid] if self._seed[sid] is not None else empty
                  for sid in sids]
         args += [jnp.stack([s[j] for s in seeds]) for j in range(6)]
-        if self.sharding is not None:
+        # sharded clip axes must divide the mesh (parallel.pad_to_multiple
+        # contract); a forced partial drain that doesn't just runs with
+        # jit's default placement instead of crashing
+        if (self.sharding is not None
+                and len(sids) % self.sharding.mesh.size == 0):
             args = [jax.device_put(a, self.sharding) for a in args[:7]] \
                 + args[7:]
         out_dev = self.tracker._clips_fn(self.tracker.pose_vars,
                                          self.tracker.flow_vars, *args)
+        # ONE batched readback per output leaf (this machine's relay
+        # charges ~30ms per forced readback; per-lane fetches would pay
+        # 5 x batch_streams of them), then numpy-slice per lane
+        host = [np.asarray(leaf) for leaf in out_dev[:5]]
         results = []
         for i, sid in enumerate(sids):
             # per-lane seed slices stay device-side
             self._seed[sid] = tuple(leaf[i] for leaf in out_dev[5])
             out_i = self.tracker.to_host(
-                tuple(leaf[i] for leaf in out_dev[:5]) + (None,))
+                tuple(h[i] for h in host) + (None,))
             first, tracks = self._consume(sid, out_i)
             results.append((sid, first, tracks))
         return results
 
     def flush(self):
-        """Track every stream's ragged tail (padded clip, exact ragged
-        semantics via frame_valid + budget_frames) and drop its state.
+        """Drain every stream: first any backlog of FULL clips (chained
+        through the normal fixed-shape program — an oversized one-off clip
+        would recompile and change recovery-budget semantics), then the
+        true ragged tail (padded clip, exact ragged semantics via
+        frame_valid + budget_frames), then drop the stream's state.
         Returns the same (stream_id, first_frame_index, tracks) list."""
+        from flowtrack_tpu.utils.video import pad_tail_clip
+
         results = []
         for sid in list(self._frames):
+            while len(self._frames[sid]) >= self.clip_len:
+                results.append(self._run_single(sid))
             buf = self._frames[sid]
             skip = 1 if self._emitted[sid] > 0 else 0
             if len(buf) <= skip:       # only the overlap frame left
                 del self._frames[sid], self._seed[sid], self._emitted[sid]
                 continue
-            real = len(buf)
-            pad = self.clip_len - real
             frames = np.stack([np.asarray(f) for f, _, _ in buf])
-            boxes = [b for _, b, _ in buf]
-            scores = [s for _, _, s in buf]
-            if pad > 0:
-                frames = np.concatenate(
-                    [frames, np.repeat(frames[-1:], pad, axis=0)])
-                boxes += [[]] * pad
-                scores += [[]] * pad
+            frames, boxes, scores, fv, real = pad_tail_clip(
+                frames, [b for _, b, _ in buf], [s for _, _, s in buf],
+                self.clip_len)
             db, dsc, dv = pad_detections(boxes, scores, self.max_persons)
-            fv = np.arange(len(frames)) < real
             first_global = self._emitted[sid] - skip
             args = self.tracker.prepare(frames, db, dsc, dv, fv,
                                         frame_offset=first_global)
             out_dev = self.tracker.run_prepared(
-                args, budget_frames=real if pad > 0 else None,
+                args, budget_frames=real if real < self.clip_len else None,
                 seed=self._seed[sid])
             out = self.tracker.to_host(out_dev)
             tracks = [tracks_of_frame(out, t) for t in range(skip, real)]

@@ -234,6 +234,26 @@ def stitch_ids(prev_last_poses, prev_last_ids, next_first_poses,
     return mapping
 
 
+def pad_tail_clip(window: np.ndarray, boxes: list, scores: list,
+                  clip_len: int):
+    """Pad a ragged tail clip to the fixed clip shape (single source of
+    truth for the recipe — track_video_clips AND serving.flush use it):
+    padded frames replicate the last real frame and carry no valid
+    detections; the returned frame_valid masks them out of recovery and
+    ``real`` pins budget_frames/seed extraction to the REAL count, so a
+    padded run matches an unpadded trace exactly.
+
+    Returns (window, boxes, scores, frame_valid_or_None, real)."""
+    real = len(window)
+    if real >= clip_len:
+        return window, boxes, scores, None, real
+    pad = clip_len - real
+    window = np.concatenate([window, np.repeat(window[-1:], pad, axis=0)])
+    boxes = list(boxes) + [[]] * pad
+    scores = list(scores) + [[]] * pad
+    return window, boxes, scores, np.arange(clip_len) < real, real
+
+
 def track_video_clips(tracker, frames: np.ndarray, det_boxes, det_scores,
                       clip_len: int = 16,
                       max_persons: Optional[int] = None):
@@ -255,26 +275,13 @@ def track_video_clips(tracker, frames: np.ndarray, det_boxes, det_scores,
     # hides the transfer behind compute.
     def dispatch(span, seed):
         idx = list(span)
-        real = len(idx)
         boxes = [det_boxes[i] for i in idx]
         scores = [det_scores[i] for i in idx]
-        window = np.asarray(frames[idx])
-        frame_valid = None
-        if real < clip_len:
-            # ragged tail clip (or short video): pad to the fixed clip
-            # shape so EVERY clip reuses one compiled program — a
-            # distinct frame count would recompile (minutes on TPU).
-            # Padded frames replicate the last real frame and carry no
-            # valid detections; frame_valid masks them out of recovery,
-            # and budget_frames (traced) pins the recovery budget and
-            # seed extraction to the REAL count, so results match an
-            # unpadded trace exactly — including under budget pressure.
-            pad = clip_len - real
-            window = np.concatenate(
-                [window, np.repeat(window[-1:], pad, axis=0)])
-            boxes = boxes + [[]] * pad
-            scores = scores + [[]] * pad
-            frame_valid = np.arange(clip_len) < real
+        # ragged tail clips pad to the fixed clip shape so EVERY clip
+        # reuses one compiled program (a distinct frame count would
+        # recompile — minutes on TPU); see pad_tail_clip
+        window, boxes, scores, frame_valid, real = pad_tail_clip(
+            np.asarray(frames[idx]), boxes, scores, clip_len)
         db, dsc, dv = pad_detections(boxes, scores, max_persons)
         return idx, tracker.run_prepared(
             tracker.prepare(window, db, dsc, dv, frame_valid=frame_valid,

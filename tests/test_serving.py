@@ -152,3 +152,56 @@ def test_multistream_sharded_matches_unsharded():
         assert g_ids == w_ids, sid
         for t in range(n):
             np.testing.assert_allclose(g_cj[t], w_cj[t], atol=1e-4)
+
+
+def test_backlog_flush_chains_full_clips():
+    """Submitting everything up front and only calling flush() must chain
+    the backlog through clip-shaped programs (identical results), never an
+    oversized one-off clip — and unequal stream lengths must match the
+    per-stream reference exactly."""
+    cfg = make_cfg()
+    tracker = ClipTracker(cfg, StubPose(), {}, StubFlow(), {})
+    lens = {"A": 10, "B": 17}
+    data = {"A": scenario_a(10), "B": scenario_b(17)}
+    want = {sid: reference_stream(tracker, *data[sid]) for sid in data}
+
+    mst = MultiStreamTracker(tracker, clip_len=CLIP, batch_streams=2)
+    for sid, (f, b, s) in data.items():
+        for t in range(lens[sid]):
+            mst.submit(sid, f[t], b[t], s[t])
+    emitted = list(mst.flush())  # no step() at all: pure backlog drain
+    got = {sid: [None] * lens[sid] for sid in data}
+    for sid, first, tracks in emitted:
+        for i, fr in enumerate(tracks):
+            got[sid][first + i] = fr
+    for sid in data:
+        assert all(fr is not None for fr in got[sid]), sid
+        w_ids, w_cj = ids_and_joints(want[sid])
+        g_ids, g_cj = ids_and_joints(got[sid])
+        assert g_ids == w_ids, sid
+        for t in range(lens[sid]):
+            np.testing.assert_allclose(g_cj[t], w_cj[t], atol=1e-4)
+
+
+def test_sharded_forced_partial_batch_does_not_crash():
+    """A forced drain with a lane count that doesn't divide the mesh must
+    fall back to default placement, not crash on the sharding constraint."""
+    from flowtrack_tpu.parallel import batch_sharding, make_mesh
+
+    cfg = make_cfg()
+    tracker = ClipTracker(cfg, StubPose(), {}, StubFlow(), {})
+    n = CLIP  # exactly one clip per stream
+    data = {sid: scenario_b(n) for sid in ("p", "q", "r")}  # 3 lanes
+    want = reference_stream(tracker, *data["p"])
+
+    mst = MultiStreamTracker(tracker, clip_len=CLIP, batch_streams=4,
+                             sharding=batch_sharding(make_mesh(2)))
+    for sid, (f, b, s) in data.items():
+        for t in range(n):
+            mst.submit(sid, f[t], b[t], s[t])
+    emitted = mst.step(force=True)  # 3 ready lanes, mesh of 2
+    assert {sid for sid, _, _ in emitted} == set(data)
+    w_ids, _ = ids_and_joints(want)
+    for sid, first, tracks in emitted:
+        g_ids, _ = ids_and_joints(tracks)
+        assert g_ids == w_ids, sid

@@ -79,11 +79,17 @@ def track_streams_batched(tracker, streams, clip_len: int):
                 fed = True
         if not fed:
             break
-        # force once trailing streams have run out (unequal lengths must
-        # not starve the batch)
-        emitted += mst.step(force=all(t + 1 >= len(f)
+        # force once ANY stream has run out: unequal lengths must not
+        # starve the batch (the longer streams would otherwise buffer
+        # every remaining frame and lose the O(clip_len) host memory)
+        emitted += mst.step(force=any(t + 1 >= len(f)
                                       for f, _, _ in streams.values()))
         t += 1
+    while True:  # drain remaining full clips in clip-shaped steps
+        drained = mst.step(force=True)
+        if not drained:
+            break
+        emitted += drained
     emitted += mst.flush()
     for sid, first, tracks in emitted:
         for i, fr in enumerate(tracks):
@@ -121,10 +127,12 @@ def main():
     tracker = ClipTracker(cfg, pose, pose_vars, flow, flow_vars)
 
     if len(args.video) > 1:
-        streams = {os.path.basename(os.path.normpath(v)) or f"s{i}":
-                   load_stream(v, d)
-                   for i, (v, d) in enumerate(zip(args.video,
-                                                  args.detections))}
+        streams = {}
+        for i, (v, d) in enumerate(zip(args.video, args.detections)):
+            sid = os.path.basename(os.path.normpath(v)) or f"s{i}"
+            if sid in streams:  # same filename under different dirs
+                sid = f"{sid}.{i}"
+            streams[sid] = load_stream(v, d)
         per_stream = track_streams_batched(tracker, streams, args.clip_len)
         total = 0
         for sid, results in per_stream.items():
