@@ -173,6 +173,17 @@ class MultiStreamTracker:
             results.append((sid, first, tracks))
         return results
 
+    def drain(self):
+        """Shutdown helper: batched forced steps while full clips remain,
+        then flush() the ragged tails. Returns all emissions."""
+        results = []
+        while True:
+            r = self.step(force=True)
+            if not r:
+                break
+            results += r
+        return results + self.flush()
+
     def flush(self):
         """Drain every stream: first any backlog of FULL clips (chained
         through the normal fixed-shape program — an oversized one-off clip

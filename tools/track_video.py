@@ -85,12 +85,7 @@ def track_streams_batched(tracker, streams, clip_len: int):
         emitted += mst.step(force=any(t + 1 >= len(f)
                                       for f, _, _ in streams.values()))
         t += 1
-    while True:  # drain remaining full clips in clip-shaped steps
-        drained = mst.step(force=True)
-        if not drained:
-            break
-        emitted += drained
-    emitted += mst.flush()
+    emitted += mst.drain()  # remaining full clips + ragged tails
     for sid, first, tracks in emitted:
         for i, fr in enumerate(tracks):
             results[sid][first + i] = fr
