@@ -16,6 +16,6 @@ Design principles (TPU-first, NOT a port):
     nn.DataParallel equivalent, per SURVEY.md section 3 parallelism census).
 """
 
-__version__ = "0.1.0"
+__version__ = "0.3.0"  # kept in lockstep with pyproject.toml (test-pinned)
 
 from flowtrack_tpu import config  # noqa: F401

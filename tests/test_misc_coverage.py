@@ -2,6 +2,7 @@
 logging file handler, engine.eval_step."""
 
 import logging
+import os
 
 import numpy as np
 import jax
@@ -83,3 +84,27 @@ def test_engine_eval_step(rng):
     assert out["preds"].shape == (3, 17, 2)
     assert out["maxvals"].shape == (3, 17)
     assert out["scores"].shape == (3,)
+
+
+def test_packaging_metadata_consistent():
+    """pyproject.toml stays in lockstep with the package: version matches
+    __version__, the native .cc source ships as package data (the lazy
+    g++ build needs it in site-packages), and package discovery only picks
+    up flowtrack_tpu (never tests/ or tools/)."""
+    import tomllib
+    import flowtrack_tpu
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(root, "pyproject.toml"), "rb") as f:
+        meta = tomllib.load(f)
+    assert meta["project"]["version"] == flowtrack_tpu.__version__
+    pkgdata = meta["tool"]["setuptools"]["package-data"]
+    assert "*.cc" in pkgdata["flowtrack_tpu.native"]
+    include = meta["tool"]["setuptools"]["packages"]["find"]["include"]
+    assert include == ["flowtrack_tpu*"]
+
+    from setuptools import find_packages
+    found = find_packages(where=root, include=include)
+    assert "flowtrack_tpu" in found
+    assert all(p == "flowtrack_tpu" or p.startswith("flowtrack_tpu.")
+               for p in found)
