@@ -835,7 +835,46 @@ def run_oracle_bench(num_layers=50, h=None, w=None, flip=True):
                               flip=flip)
 
 
+def probe_backend() -> None:
+    """Fail fast if the accelerator backend is unreachable.
+
+    During axon relay outages ``jax.devices()`` HANGS indefinitely (observed
+    >10 h on 2026-08-17/18, CLAUDE.md) — a driver-run bench would hang the
+    whole round.  Probe backend init in a SUBPROCESS with a bounded timeout
+    and emit a diagnostic JSON line instead of hanging.  Skipped when the
+    requested platform is cpu (tests / virtual meshes never hang) or via
+    BENCH_NO_PROBE=1.
+    """
+    import subprocess
+
+    if os.environ.get("BENCH_NO_PROBE") == "1":
+        return
+    if os.environ.get("JAX_PLATFORMS", "").strip().lower() == "cpu":
+        return
+    timeout = float(os.environ.get("BENCH_PROBE_TIMEOUT", "300"))
+    err = None
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; print(jax.devices()[0].platform)"],
+            capture_output=True, text=True, timeout=timeout)
+        if r.returncode != 0:
+            err = f"backend init failed: {(r.stderr or '').strip()[-300:]}"
+    except subprocess.TimeoutExpired:
+        err = f"backend init hung >{timeout:.0f}s (relay outage?)"
+    if err is not None:
+        print(json.dumps({
+            "metric": "pose+flow_tracking_frames_per_sec_per_chip",
+            "value": 0.0,
+            "unit": "frames/s (accelerator unreachable)",
+            "vs_baseline": None,
+            "error": err,
+        }))
+        sys.exit(2)
+
+
 def main():
+    probe_backend()
     import jax
 
     platform = jax.devices()[0].platform

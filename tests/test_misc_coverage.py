@@ -1,12 +1,14 @@
 """Coverage for small subsystems: native numpy fallback, device_prefetch,
 logging file handler, engine.eval_step."""
 
+import json
 import logging
 import os
 
 import numpy as np
 import jax
 import jax.numpy as jnp
+import pytest
 
 
 def test_native_numpy_fallback(monkeypatch):
@@ -108,3 +110,44 @@ def test_packaging_metadata_consistent():
     assert "flowtrack_tpu" in found
     assert all(p == "flowtrack_tpu" or p.startswith("flowtrack_tpu.")
                for p in found)
+
+
+def test_bench_probe_backend(monkeypatch, capsys):
+    """bench.probe_backend must fail FAST with a diagnostic JSON line when
+    backend init hangs (the axon relay outage mode: jax.devices() blocking
+    >10h would otherwise hang a driver-run bench), and must be a no-op for
+    cpu runs / when explicitly disabled."""
+    import subprocess
+
+    import bench
+
+    # explicit opt-out and cpu platform: no subprocess probe at all
+    def boom(*a, **k):
+        raise AssertionError("probe subprocess must not run")
+    monkeypatch.setattr(subprocess, "run", boom)
+    monkeypatch.setenv("BENCH_NO_PROBE", "1")
+    bench.probe_backend()
+    monkeypatch.delenv("BENCH_NO_PROBE")
+    monkeypatch.setenv("JAX_PLATFORMS", "cpu")
+    bench.probe_backend()
+
+    # hung init -> one JSON line + exit code 2
+    monkeypatch.setenv("JAX_PLATFORMS", "axon")
+    monkeypatch.setenv("BENCH_PROBE_TIMEOUT", "7")
+
+    def hang(cmd, **kw):
+        raise subprocess.TimeoutExpired(cmd, kw["timeout"])
+    monkeypatch.setattr(subprocess, "run", hang)
+    with pytest.raises(SystemExit) as exc:
+        bench.probe_backend()
+    assert exc.value.code == 2
+    line = json.loads(capsys.readouterr().out.strip())
+    assert line["value"] == 0.0 and "7s" in line["error"]
+
+    # healthy init -> returns quietly
+    class OK:
+        returncode = 0
+        stderr = ""
+    monkeypatch.setattr(subprocess, "run", lambda *a, **k: OK())
+    bench.probe_backend()
+    assert capsys.readouterr().out == ""
