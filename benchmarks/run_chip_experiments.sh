@@ -23,6 +23,13 @@ run c12_chunk128 env BENCH_CLIPS=12 BENCH_POSE_CHUNK=128 timeout 2400 python ben
 # 3. chunking overhead at the current headline C (should be ~neutral)
 run c6_chunk128 env BENCH_CLIPS=6 BENCH_POSE_CHUNK=128 timeout 2400 python bench.py
 
+# 3b. HBM-boundary probes: C=7 unchunked (does it fit below the C=8 OOM?),
+#     C=10 chunked, and C=6 at 128-frame clips (dispatch amortization x
+#     chunking) — whichever wins becomes the headline default
+run c7_nochunk env BENCH_CLIPS=7 timeout 2400 python bench.py
+run c10_chunk128 env BENCH_CLIPS=10 BENCH_POSE_CHUNK=128 timeout 2400 python bench.py
+run c6_f128_chunk env BENCH_CLIPS=6 BENCH_FRAMES=128 BENCH_POSE_CHUNK=128 timeout 2400 python bench.py
+
 # 4. b4 cascade with flow+pose chunking: does 2-stream now fit?
 run b4_chunked env BENCH_CFG=coco_res152_384x288 BENCH_FLOW=flownet2 \
   BENCH_CLIPS=2 BENCH_POSE_CHUNK=128 BENCH_FLOW_CHUNK=9 timeout 3000 python bench.py
