@@ -1,4 +1,8 @@
-"""One-way torch -> JAX weight converter (SURVEY.md section 6.4).
+"""torch <-> JAX weight converter (SURVEY.md section 6.4).
+
+Forward direction (torch state_dict -> flax variables) below; reverse
+direction (flax -> torch, for deploying TPU-trained weights on the
+reference stack) at the bottom of the file.
 
 Converts a torch ``state_dict`` (as a name -> numpy array mapping; call
 ``load_torch_file`` to read a .pth when torch is installed) into the flax
@@ -307,3 +311,138 @@ def convert_flownet2(sd: Dict[str, np.ndarray]):
 # prefixes, so the same converter applies.
 convert_flownet2_cs = convert_flownet2
 convert_flownet2_css = convert_flownet2
+
+
+# ---------------------------------------------------------------------------
+# Reverse direction: JAX variables -> torch state_dict.
+#
+# Lets TPU-trained weights flow BACK to the reference stack (deployment on
+# the old torch pipeline, cross-checking against torch tooling). Exact
+# inverses of the layout rules above; round-trip equality and
+# torch-forward parity are pinned in tests/test_torch_ckpt_load.py.
+# Emitted names use the lineage-canonical forms the forward converter
+# accepts: Sequential-wrapped convs/deconvs ('conv1.0.weight'), bare
+# predict_flow / upsampled_flow modules, 'deconv_layers.{3i}' heads.
+# ---------------------------------------------------------------------------
+
+
+def conv_kernel_to_torch(w: np.ndarray) -> np.ndarray:
+    """HWIO -> torch Conv2d (Cout, Cin, kH, kW)."""
+    return np.ascontiguousarray(np.transpose(np.asarray(w), (3, 2, 0, 1)))
+
+
+def deconv_kernel_to_torch(w: np.ndarray) -> np.ndarray:
+    """Our flipped-HWIO deconv kernel -> torch ConvTranspose2d
+    (Cin, Cout, kH, kW): unflip both spatial axes, then the (involutive)
+    transpose back."""
+    w = np.asarray(w)[::-1, ::-1]
+    return np.ascontiguousarray(np.transpose(w, (2, 3, 0, 1)))
+
+
+def _bn_to_torch(sd: dict, torch_prefix: str, pnode: dict, snode: dict):
+    sd[torch_prefix + ".weight"] = np.asarray(pnode["scale"])
+    sd[torch_prefix + ".bias"] = np.asarray(pnode["bias"])
+    sd[torch_prefix + ".running_mean"] = np.asarray(snode["mean"])
+    sd[torch_prefix + ".running_var"] = np.asarray(snode["var"])
+    # torch BatchNorm2d tracks this buffer; 0 is torch's own fresh value
+    sd[torch_prefix + ".num_batches_tracked"] = np.asarray(0, np.int64)
+
+
+def reverse_pose_resnet(variables: dict) -> Dict[str, np.ndarray]:
+    """Flax PoseResNet variables -> torch state_dict (lineage naming:
+    conv1/bn1/layerL.B.*/deconv_layers.{3i}/final_layer). Inverse of
+    convert_pose_resnet."""
+    params = variables["params"]
+    stats = variables.get("batch_stats", {})
+    bb, bbs = params["backbone"], stats.get("backbone", {})
+    sd: Dict[str, np.ndarray] = {}
+    sd["conv1.weight"] = conv_kernel_to_torch(bb["conv1"]["kernel"])
+    _bn_to_torch(sd, "bn1", bb["bn1"], bbs["bn1"])
+    blk_re = re.compile(r"^layer(\d+)_(\d+)$")
+    for name in sorted(bb):
+        m = blk_re.match(name)
+        if not m:
+            continue
+        tp = f"layer{m.group(1)}.{m.group(2)}"
+        blk, blks = bb[name], bbs[name]
+        for ci in (1, 2, 3):
+            if f"conv{ci}" not in blk:
+                continue
+            sd[f"{tp}.conv{ci}.weight"] = conv_kernel_to_torch(
+                blk[f"conv{ci}"]["kernel"])
+            _bn_to_torch(sd, f"{tp}.bn{ci}", blk[f"bn{ci}"], blks[f"bn{ci}"])
+        if "downsample_conv" in blk:
+            sd[f"{tp}.downsample.0.weight"] = conv_kernel_to_torch(
+                blk["downsample_conv"]["kernel"])
+            _bn_to_torch(sd, f"{tp}.downsample.1", blk["downsample_bn"],
+                         blks["downsample_bn"])
+    i = 0
+    while f"deconv{i}" in params:
+        node = params[f"deconv{i}"]
+        sd[f"deconv_layers.{3 * i}.weight"] = deconv_kernel_to_torch(
+            node["kernel"])
+        if "bias" in node:
+            sd[f"deconv_layers.{3 * i}.bias"] = np.asarray(node["bias"])
+        _bn_to_torch(sd, f"deconv_layers.{3 * i + 1}",
+                     params[f"deconv_bn{i}"], stats[f"deconv_bn{i}"])
+        i += 1
+    sd["final_layer.weight"] = conv_kernel_to_torch(params["final"]["kernel"])
+    if "bias" in params["final"]:
+        sd["final_layer.bias"] = np.asarray(params["final"]["bias"])
+    return sd
+
+
+def _reverse_flownet_layer(sd: dict, name: str, node: dict,
+                           bn_stats, prefix: str):
+    if name.startswith("upsampled_flow"):
+        sd[f"{prefix}{name}.weight"] = deconv_kernel_to_torch(node["kernel"])
+        bkey = f"{prefix}{name}.bias"
+    elif name.startswith("predict_flow"):
+        sd[f"{prefix}{name}.weight"] = conv_kernel_to_torch(node["kernel"])
+        bkey = f"{prefix}{name}.bias"
+    elif name.startswith("deconv"):
+        node = node["deconv"]
+        sd[f"{prefix}{name}.0.weight"] = deconv_kernel_to_torch(node["kernel"])
+        bkey = f"{prefix}{name}.0.bias"
+    else:  # ConvLeaky / IConv wrapper
+        inner = node["conv"]
+        sd[f"{prefix}{name}.0.weight"] = conv_kernel_to_torch(inner["kernel"])
+        if "bn" in node:
+            _bn_to_torch(sd, f"{prefix}{name}.1", node["bn"], bn_stats)
+        node, bkey = inner, f"{prefix}{name}.0.bias"
+    if "bias" in node:
+        sd[bkey] = np.asarray(node["bias"])
+
+
+def _reverse_flownet_module(variables: dict, prefix: str = ""):
+    sd: Dict[str, np.ndarray] = {}
+
+    def walk(pnode, snode):
+        for name in sorted(pnode):
+            if name == "trunk":
+                walk(pnode[name], snode.get(name, {}))
+                continue
+            bn_stats = snode.get(name, {}).get("bn")
+            _reverse_flownet_layer(sd, name, pnode[name], bn_stats, prefix)
+
+    walk(variables["params"], variables.get("batch_stats", {}))
+    return sd
+
+
+def reverse_flownet(variables: dict) -> Dict[str, np.ndarray]:
+    """Flax FlowNetS/C/SD/Fusion variables -> torch state_dict. Inverse of
+    convert_flownet_s / convert_flownet_sd (the trunk nesting is flattened
+    back to top-level lineage names)."""
+    return _reverse_flownet_module(variables)
+
+
+def reverse_flownet2(variables: dict) -> Dict[str, np.ndarray]:
+    """Flax FlowNet2(-CS/-CSS) variables -> torch state_dict with per-subnet
+    'flownetc.' / 'flownets_1.' ... prefixes. Inverse of convert_flownet2."""
+    sd: Dict[str, np.ndarray] = {}
+    stats = variables.get("batch_stats", {})
+    for sub in variables["params"]:
+        sd.update(_reverse_flownet_module(
+            {"params": variables["params"][sub],
+             "batch_stats": stats.get(sub, {})}, prefix=f"{sub}."))
+    return sd

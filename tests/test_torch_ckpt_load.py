@@ -39,3 +39,27 @@ def test_pth_roundtrip_forward_parity(tmp_path, rng):
         variables = jax.tree.map(jnp.asarray, convert_pose_resnet(sd))
         out = np.asarray(model.apply(variables, jnp.asarray(x), train=False))
         np.testing.assert_allclose(out, want, atol=2e-3, rtol=1e-3)
+
+
+def test_reverse_export_forward_parity(rng):
+    """The deploy-back path with weights that NEVER came from torch: a fresh
+    flax init reversed to a torch state_dict must strict-load and produce
+    the same forward outputs as the flax model (TPU-trained weights running
+    on the reference stack)."""
+    from flowtrack_tpu.utils.torch_convert import reverse_pose_resnet
+
+    model = PoseResNet(cfg=ModelConfig(num_layers=50, dtype="float32"))
+    x = rng.normal(0, 1, (1, 64, 48, 3)).astype(np.float32)
+    variables = jax.jit(model.init, static_argnames="train")(
+        jax.random.PRNGKey(11), jnp.asarray(x), train=False)
+    want = np.asarray(model.apply(variables, jnp.asarray(x), train=False))
+
+    sd = reverse_pose_resnet(jax.tree.map(np.asarray, variables))
+    oracle = random_pose_resnet(50, seed=13)
+    oracle.load_state_dict({k: torch.from_numpy(np.ascontiguousarray(v))
+                            for k, v in sd.items()}, strict=True)
+    oracle.eval()
+    with torch.no_grad():
+        got = oracle(torch.from_numpy(x).permute(0, 3, 1, 2)) \
+            .permute(0, 2, 3, 1).numpy()
+    np.testing.assert_allclose(got, want, atol=2e-3, rtol=1e-3)
