@@ -36,6 +36,23 @@ def annotate(name: str):
     return jax.profiler.TraceAnnotation(name)
 
 
+def enable_compilation_cache(cache_dir: str,
+                             min_compile_seconds: float = 1.0) -> None:
+    """Persistent cross-process XLA compilation cache.
+
+    Serving/eval CLIs recompile the same programs on every restart; on
+    this machine a fresh-process TPU compile costs minutes (relay AOT
+    warmup, CLAUDE.md), so the CLIs expose ``--compile-cache DIR`` (or the
+    ``FLOWTRACK_COMPILE_CACHE`` env var) to persist compiled executables.
+    The size floor is disabled so every program above
+    ``min_compile_seconds`` caches regardless of binary size.
+    """
+    jax.config.update("jax_compilation_cache_dir", str(cache_dir))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                      float(min_compile_seconds))
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+
+
 class StageTimer:
     """Accumulate wall-time per named stage; device-sync aware.
 

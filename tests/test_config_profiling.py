@@ -63,3 +63,21 @@ def test_mpii_preset_and_yaml_agree():
     assert ycfg.model.num_joints == 16
     assert ycfg.model.heatmap_size == (64, 64)
     assert ycfg.data.dataset == "mpii"
+
+
+def test_enable_compilation_cache(tmp_path):
+    """The cache helper must actually persist compiled executables (the
+    --compile-cache CLI path): after a jit, the dir holds cache entries."""
+    import jax
+
+    from flowtrack_tpu.utils.profiling import enable_compilation_cache
+
+    cache = tmp_path / "xla_cache"
+    try:
+        enable_compilation_cache(str(cache), min_compile_seconds=0.0)
+        f = jax.jit(lambda x: (x * 2.0 + 1.0).sum())
+        f(jnp.arange(977, dtype=jnp.float32)).block_until_ready()
+        entries = list(cache.glob("*cache*"))
+        assert entries, f"no cache entries in {cache}"
+    finally:
+        jax.config.update("jax_compilation_cache_dir", None)

@@ -7,6 +7,7 @@ boxes (json or GT) + image -> PosePredictor -> skeleton rendering.
 from __future__ import annotations
 
 import argparse
+import os
 import json
 
 import numpy as np
@@ -29,7 +30,15 @@ def main():
                     help="json: [[x, y, w, h], ...] or detection dicts")
     ap.add_argument("--out", default="demo_out.png")
     ap.add_argument("opts", nargs="*")
+    ap.add_argument("--compile-cache",
+                    default=os.environ.get("FLOWTRACK_COMPILE_CACHE"),
+                    help="persistent XLA compilation cache dir "
+                         "(amortizes multi-minute first compiles "
+                         "across CLI restarts)")
     args = ap.parse_args()
+    if args.compile_cache:
+        from flowtrack_tpu.utils.profiling import enable_compilation_cache
+        enable_compilation_cache(args.compile_cache)
 
     cfg = apply_overrides(get_config(args.cfg), args.opts)
     img = load_image(args.image)

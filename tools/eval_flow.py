@@ -42,7 +42,15 @@ def main():
                     help="with --save-flo: also write Middlebury "
                          "color-wheel .png renders")
     ap.add_argument("opts", nargs="*")
+    ap.add_argument("--compile-cache",
+                    default=os.environ.get("FLOWTRACK_COMPILE_CACHE"),
+                    help="persistent XLA compilation cache dir "
+                         "(amortizes multi-minute first compiles "
+                         "across CLI restarts)")
     args = ap.parse_args()
+    if args.compile_cache:
+        from flowtrack_tpu.utils.profiling import enable_compilation_cache
+        enable_compilation_cache(args.compile_cache)
     if not args.gt_flow and not args.save_flo:
         ap.error("nothing to do: pass --gt-flow (evaluate) and/or "
                  "--save-flo (inference)")

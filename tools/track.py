@@ -165,7 +165,15 @@ def main():
                          " the motmetrics-accumulator event streams "
                          "(differentially tested; see posetrack_eval)")
     ap.add_argument("opts", nargs="*")
+    ap.add_argument("--compile-cache",
+                    default=os.environ.get("FLOWTRACK_COMPILE_CACHE"),
+                    help="persistent XLA compilation cache dir "
+                         "(amortizes multi-minute first compiles "
+                         "across CLI restarts)")
     args = ap.parse_args()
+    if args.compile_cache:
+        from flowtrack_tpu.utils.profiling import enable_compilation_cache
+        enable_compilation_cache(args.compile_cache)
     setup_logging()
 
     cfg = apply_overrides(get_config(args.cfg), args.opts)

@@ -107,7 +107,15 @@ def main():
     ap.add_argument("--clip-len", type=int, default=16)
     ap.add_argument("--render", action="store_true")
     ap.add_argument("opts", nargs="*")
+    ap.add_argument("--compile-cache",
+                    default=os.environ.get("FLOWTRACK_COMPILE_CACHE"),
+                    help="persistent XLA compilation cache dir "
+                         "(amortizes multi-minute first compiles "
+                         "across CLI restarts)")
     args = ap.parse_args()
+    if args.compile_cache:
+        from flowtrack_tpu.utils.profiling import enable_compilation_cache
+        enable_compilation_cache(args.compile_cache)
     setup_logging()
     if len(args.video) != len(args.detections):
         raise SystemExit("--video and --detections counts must match")

@@ -98,7 +98,15 @@ def main():
                     help="also mirror scalars to a TensorBoard event dir "
                          "(the reference logs TB scalars; SURVEY.md 6.5)")
     ap.add_argument("opts", nargs="*", help="dotted overrides k=v")
+    ap.add_argument("--compile-cache",
+                    default=os.environ.get("FLOWTRACK_COMPILE_CACHE"),
+                    help="persistent XLA compilation cache dir "
+                         "(amortizes multi-minute first compiles "
+                         "across CLI restarts)")
     args = ap.parse_args()
+    if args.compile_cache:
+        from flowtrack_tpu.utils.profiling import enable_compilation_cache
+        enable_compilation_cache(args.compile_cache)
     setup_logging()
 
     cfg = apply_overrides(get_config(args.cfg), args.opts)
