@@ -873,8 +873,32 @@ def probe_backend() -> None:
         sys.exit(2)
 
 
+def enable_compile_cache() -> None:
+    """Persistent XLA compilation cache for bench runs.
+
+    A fresh-process TPU compile costs minutes on this relay (CLAUDE.md);
+    the experiment queue and the driver's end-of-round run both pay it for
+    every invocation.  Default to a repo-local cache dir (same mechanism
+    the CLIs expose via --compile-cache); opt out with
+    ``FLOWTRACK_COMPILE_CACHE=""`` or point it elsewhere via the env var.
+    """
+    cache_dir = os.environ.get(
+        "FLOWTRACK_COMPILE_CACHE",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     ".xla_compile_cache"))
+    if not cache_dir:
+        return
+    try:
+        from flowtrack_tpu.utils.profiling import enable_compilation_cache
+
+        enable_compilation_cache(cache_dir)
+    except Exception as e:  # noqa: BLE001 — cache is an optimization only
+        print(f"bench: compilation cache unavailable ({e})", file=sys.stderr)
+
+
 def main():
     probe_backend()
+    enable_compile_cache()
     import jax
 
     platform = jax.devices()[0].platform
