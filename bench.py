@@ -336,8 +336,29 @@ def run_clip_bench(cfg_name=None, flow_variant=None):
     # against the chip's bf16 peak — so the "% of peak" claim is
     # recomputed from primary data on every run.
     extras = {}
+    single_clip = prepped if n_clips > 1 else args
     if n_clips > 1:
         extras["batched_streams"] = n_clips  # post-OOM-fallback value
+    if cfg.track.pose_chunk or cfg.track.flow_chunk:
+        # XLA's cost_analysis does NOT scale a lax.map/while body by its
+        # trip count, so chunked programs under-report flops ~3x for
+        # identical semantic work (round-3 sweep: 71.1 vs 196.5
+        # GFLOPs/frame, same C=6 workload, only chunking toggled) — which
+        # corrupts every derived figure incl. the GPU-envelope north-star.
+        # Chunked == unchunked is pinned bitwise (test_clip_pipeline), and
+        # clip-program flops are linear in the stream count, so the flop
+        # count of record is the UNCHUNKED single-clip twin's. The twin is
+        # only lowered/compiled for analysis, never executed (single-clip
+        # unchunked always fits HBM even when C streams chunked don't).
+        twin = ClipTracker(
+            replace(cfg, track=replace(cfg.track, pose_chunk=0,
+                                       flow_chunk=0)),
+            pose, pose_vars, flow_net, flow_vars, max_persons=PERSONS)
+        flops = program_flops(twin._clip_fn, twin.pose_vars,
+                              twin.flow_vars, *single_clip,
+                              *twin.empty_seed())
+        extras["flops_source"] = "unchunked_single_clip_twin"
+    elif n_clips > 1:
         flops = program_flops(tracker._clips_fn, tracker.pose_vars,
                               tracker.flow_vars, *cargs) / n_clips
     else:
