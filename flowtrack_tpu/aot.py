@@ -42,7 +42,11 @@ def clip_arg_specs(tracker, clip_len: int, frame_hw: Tuple[int, int],
     running the REAL host prep on zero inputs so padding/layout decisions
     can never drift from production."""
     h, w = frame_hw
-    p = tracker.cfg.track.max_persons
+    # the tracker's EFFECTIVE person padding (ClipTracker accepts a
+    # max_persons override of cfg.track.max_persons; using the cfg value
+    # here produced specs that rejected production-prepared args — caught
+    # by dryrun_multichip's AOT layout)
+    p = tracker.max_persons
     frames = np.zeros((clip_len, h, w, 3), np.float32)
     boxes = np.tile(np.asarray([0.0, 0.0, 1.0, 1.0], np.float32),
                     (clip_len, p, 1))
@@ -92,7 +96,7 @@ def artifact_meta(tracker, clip_len: int, frame_hw: Tuple[int, int],
         "frame_hw": list(frame_hw),
         "streams": streams,
         "platforms": list(platforms) if platforms else None,
-        "max_persons": tracker.cfg.track.max_persons,
+        "max_persons": tracker.max_persons,
         "num_slots": tracker.num_slots,
         "num_joints": tracker.num_joints,
         "pose": tracker.cfg.model.num_layers,

@@ -73,15 +73,46 @@ class MultiStreamTracker:
         self._frames: Dict[Hashable, list] = {}   # buffered (frame, b, s)
         self._seed: Dict[Hashable, tuple] = {}    # device seed tuple
         self._emitted: Dict[Hashable, int] = {}   # frames emitted so far
+        self._frame_spec: Optional[tuple] = None  # (shape, dtype) of record
 
     # -- ingestion ---------------------------------------------------------
 
     def submit(self, stream_id: Hashable, frame: np.ndarray,
                boxes, scores) -> None:
         """Buffer one frame + its detections for a stream. ``boxes``:
-        (P, 4) xywh (possibly empty); ``scores``: (P,)."""
+        (P, 4) xywh (possibly empty); ``scores``: (P,).
+
+        Every frame of every stream must share one (H, W, 3) shape and
+        dtype: clips from different streams are stacked into ONE batched
+        device program, so a mismatch is rejected HERE with the offending
+        stream named, not frames later inside clip assembly."""
+        frame = np.asarray(frame)
+        if frame.ndim != 3 or frame.shape[-1] != 3:
+            raise ValueError(
+                f"stream {stream_id!r}: frame must be (H, W, 3), got shape "
+                f"{frame.shape}")
+        spec = (frame.shape, frame.dtype)
+        if self._frame_spec is None:
+            self._frame_spec = spec
+        elif spec != self._frame_spec:
+            raise ValueError(
+                f"stream {stream_id!r}: frame shape/dtype {frame.shape}/"
+                f"{frame.dtype} does not match this tracker's established "
+                f"{self._frame_spec[0]}/{self._frame_spec[1]} — all streams "
+                f"batch into one device program and must agree")
+        boxes = list(boxes)
+        scores = list(scores)
+        if len(boxes) != len(scores):
+            raise ValueError(
+                f"stream {stream_id!r}: {len(boxes)} boxes vs "
+                f"{len(scores)} scores")
+        for b in boxes:
+            if len(b) != 4:
+                raise ValueError(
+                    f"stream {stream_id!r}: each box must be xywh "
+                    f"length-4, got {b!r}")
         self._frames.setdefault(stream_id, []).append(
-            (frame, list(boxes), list(scores)))
+            (frame, boxes, scores))
         self._emitted.setdefault(stream_id, 0)
         self._seed.setdefault(stream_id, None)
 

@@ -76,6 +76,29 @@ def test_aot_streams_layout_bitwise():
     np.testing.assert_array_equal(np.asarray(out[0]), live["joints"])
 
 
+def test_aot_specs_honor_max_persons_override():
+    """clip_arg_specs must use the tracker's EFFECTIVE person padding
+    (ClipTracker(max_persons=...) overrides cfg.track.max_persons) —
+    regression: specs built from the cfg value rejected production
+    prepared args (caught by dryrun_multichip's AOT layout)."""
+    from tests.test_clip_pipeline import StubFlow, StubPose, make_cfg
+    from flowtrack_tpu.tracking.clip_pipeline import ClipTracker
+
+    cfg = make_cfg()  # cfg.track.max_persons == 4
+    tracker = ClipTracker(cfg, StubPose(), {}, StubFlow(), {},
+                          max_persons=2)
+    specs = aot.clip_arg_specs(tracker, F, (H, W))
+    frames = np.zeros((F, H, W, 3), np.float32)
+    args = tracker.prepare(frames, np.zeros((F, 2, 4), np.float32),
+                           np.zeros((F, 2), np.float32),
+                           np.ones((F, 2), bool))
+    for spec, arg in zip(specs[2:9], args):
+        assert spec.shape == arg.shape, (spec.shape, arg.shape)
+    import json
+    meta = json.loads(aot.artifact_meta(tracker, F, (H, W), None, None))
+    assert meta["max_persons"] == 2
+
+
 def test_aot_rejects_wrong_shapes():
     """Shape-specialization is enforced at call time, not silently padded."""
     tracker = default_tracker()

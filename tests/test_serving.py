@@ -4,6 +4,7 @@ including cross-clip id continuity through a detector miss exactly at a
 clip boundary, ragged tails, and interleaved stream arrival."""
 
 import numpy as np
+import pytest
 
 from flowtrack_tpu.serving import MultiStreamTracker
 from flowtrack_tpu.utils.video import track_video_clips
@@ -154,6 +155,68 @@ def test_multistream_sharded_matches_unsharded():
             np.testing.assert_allclose(g_cj[t], w_cj[t], atol=1e-4)
 
 
+@pytest.mark.slow
+def test_real_models_sharded_serving_matches_reference():
+    """The serving component itself (not just the CLI) with REAL models:
+    ResNet-18 + FlowNetS, 8 interleaved streams, the clip axis sharded
+    over the full 8-device mesh, drain() at shutdown — per-stream ids and
+    joints must equal track_video_clips run on each stream separately."""
+    import jax
+    import jax.numpy as jnp
+    from dataclasses import replace
+    from flowtrack_tpu.config import Config, ModelConfig
+    from flowtrack_tpu.models.flownet import FlowNetS
+    from flowtrack_tpu.models.pose_resnet import get_pose_net
+    from flowtrack_tpu.parallel import batch_sharding, make_mesh
+
+    cfg = Config(model=ModelConfig(num_layers=18, image_size=(64, 64),
+                                   heatmap_size=(16, 16), dtype="float32"))
+    cfg = replace(cfg, track=replace(cfg.track, max_persons=2,
+                                     pose_score_thre=0.0),
+                  flow=replace(cfg.flow, dtype="float32"))
+    pose = get_pose_net(cfg.model)
+    pv = jax.jit(pose.init, static_argnames="train")(
+        jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)), train=False)
+    flow = FlowNetS(dtype=jnp.float32)
+    fv = jax.jit(flow.init, static_argnames="train")(
+        jax.random.PRNGKey(1), jnp.zeros((1, 64, 64, 6)), train=False)
+    tracker = ClipTracker(cfg, pose, pv, flow, fv)
+
+    rng = np.random.default_rng(7)
+    n, clip = 5, 3
+    streams = {}
+    for i in range(8):
+        frames = rng.uniform(0, 120, (n, 96, 128, 3)).astype(np.float32)
+        boxes = [[[15 + 6 * i + 4 * t, 25, 30, 40]] for t in range(n)]
+        scores = [[0.9]] * n
+        streams[f"s{i}"] = (frames, boxes, scores)
+
+    want = {sid: track_video_clips(tracker, *streams[sid], clip_len=clip)
+            for sid in streams}
+
+    mst = MultiStreamTracker(tracker, clip_len=clip, batch_streams=8,
+                             sharding=batch_sharding(make_mesh(8)))
+    got = {sid: [None] * n for sid in streams}
+    emitted = []
+    for t in range(n):  # interleaved arrival, all streams per tick
+        for sid, (f, b, s) in streams.items():
+            mst.submit(sid, f[t], b[t], s[t])
+        emitted += mst.step()
+    emitted += mst.drain()
+    for sid, first, tracks in emitted:
+        for i, fr in enumerate(tracks):
+            got[sid][first + i] = fr
+
+    for sid in streams:
+        assert all(fr is not None for fr in got[sid]), sid
+        w_ids, w_cj = ids_and_joints(want[sid])
+        g_ids, g_cj = ids_and_joints(got[sid])
+        assert g_ids == w_ids, sid
+        for t in range(n):
+            np.testing.assert_allclose(g_cj[t], w_cj[t], atol=1e-4,
+                                       err_msg=f"{sid}:{t}")
+
+
 def test_backlog_flush_chains_full_clips():
     """Submitting everything up front and only calling flush() must chain
     the backlog through clip-shaped programs (identical results), never an
@@ -181,6 +244,37 @@ def test_backlog_flush_chains_full_clips():
         assert g_ids == w_ids, sid
         for t in range(lens[sid]):
             np.testing.assert_allclose(g_cj[t], w_cj[t], atol=1e-4)
+
+
+def test_submit_validates_at_the_boundary():
+    """submit() must reject malformed input with the stream named — not
+    die later inside np.stack at clip assembly."""
+    cfg = make_cfg()
+    tracker = ClipTracker(cfg, StubPose(), {}, StubFlow(), {})
+    mst = MultiStreamTracker(tracker, clip_len=CLIP, batch_streams=2)
+
+    frame = np.zeros((H, W, 3), np.float32)
+    mst.submit("A", frame, [[1, 2, 3, 4]], [0.9])
+
+    # wrong rank / channel count
+    with pytest.raises(ValueError, match="'B'.*\\(H, W, 3\\)"):
+        mst.submit("B", np.zeros((H, W), np.float32), [], [])
+    with pytest.raises(ValueError, match="must be \\(H, W, 3\\)"):
+        mst.submit("B", np.zeros((H, W, 4), np.float32), [], [])
+    # cross-stream shape mismatch (streams batch into one program)
+    with pytest.raises(ValueError, match="'B'.*does not match"):
+        mst.submit("B", np.zeros((H // 2, W, 3), np.float32), [], [])
+    # same-stream dtype drift
+    with pytest.raises(ValueError, match="'A'.*does not match"):
+        mst.submit("A", np.zeros((H, W, 3), np.uint8), [], [])
+    # boxes/scores disagreement and non-xywh boxes
+    with pytest.raises(ValueError, match="'A'.*2 boxes vs 1 scores"):
+        mst.submit("A", frame, [[1, 2, 3, 4], [5, 6, 7, 8]], [0.9])
+    with pytest.raises(ValueError, match="'A'.*length-4"):
+        mst.submit("A", frame, [[1, 2, 3]], [0.9])
+
+    # nothing malformed was buffered; the good stream still tracks
+    assert len(mst._frames["A"]) == 1 and "B" not in mst._frames
 
 
 def test_sharded_forced_partial_batch_does_not_crash():
