@@ -191,7 +191,9 @@ def run_clip_bench(cfg_name=None, flow_variant=None):
 
         fcfg = replace(cfg.flow, variant=flow_variant,
                        use_pallas_corr=os.environ.get(
-                           "BENCH_PALLAS_CORR", "1") == "1")
+                           "BENCH_PALLAS_CORR", "1") == "1",
+                       use_pallas_warp=os.environ.get(
+                           "BENCH_PALLAS_WARP", "0") == "1")
         cfg = replace(cfg, flow=fcfg)
         flow_net = get_flow_net(fcfg)
     else:

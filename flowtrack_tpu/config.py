@@ -77,6 +77,7 @@ class FlowConfig:
     corr_max_displacement: int = 20
     corr_stride2: int = 2
     use_pallas_corr: bool = False  # Pallas cost-volume kernel (TPU) vs XLA
+    use_pallas_warp: bool = False  # Pallas shift-accumulate warp vs XLA
     dtype: str = "bfloat16"
 
 

@@ -333,6 +333,7 @@ class FlowNet2(nn.Module):
     use_bn: bool = False
     div_flow: float = 20.0
     use_pallas_corr: bool = False
+    use_pallas_warp: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -346,7 +347,8 @@ class FlowNet2(nn.Module):
         flow_c = _upsample4(flow_c2 * self.div_flow)
 
         def stage_input(flow_full):
-            warped = resample2d(img2.astype(jnp.float32), flow_full)
+            warped = resample2d(img2.astype(jnp.float32), flow_full,
+                                use_pallas=self.use_pallas_warp)
             err = channelnorm(img1.astype(jnp.float32) - warped)
             return jnp.concatenate(
                 [x, warped.astype(x.dtype),
@@ -374,8 +376,10 @@ class FlowNet2(nn.Module):
         norm_s2 = channelnorm(flow_s2)
         img1f = img1.astype(jnp.float32)
         img2f = img2.astype(jnp.float32)
-        err_sd = channelnorm(img1f - resample2d(img2f, flow_sd))
-        err_s2 = channelnorm(img1f - resample2d(img2f, flow_s2))
+        err_sd = channelnorm(img1f - resample2d(
+            img2f, flow_sd, use_pallas=self.use_pallas_warp))
+        err_s2 = channelnorm(img1f - resample2d(
+            img2f, flow_s2, use_pallas=self.use_pallas_warp))
 
         fuse_in = jnp.concatenate(
             [img1f, flow_sd, flow_s2, norm_sd, norm_s2, err_sd, err_s2],
@@ -397,6 +401,7 @@ class FlowNet2CSS(nn.Module):
     use_bn: bool = False
     div_flow: float = 20.0
     use_pallas_corr: bool = False
+    use_pallas_warp: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -408,7 +413,8 @@ class FlowNet2CSS(nn.Module):
         flow = _upsample4(flownetc(x, train=False) * self.div_flow)
 
         def stage_input(flow_full):
-            warped = resample2d(img2.astype(jnp.float32), flow_full)
+            warped = resample2d(img2.astype(jnp.float32), flow_full,
+                                use_pallas=self.use_pallas_warp)
             err = channelnorm(img1.astype(jnp.float32) - warped)
             return jnp.concatenate(
                 [x, warped.astype(x.dtype),
@@ -476,9 +482,11 @@ def get_flow_net(cfg: FlowConfig):
         return FlowNetSD(**common)
     if cfg.variant == "flownet2":
         return FlowNet2(div_flow=cfg.div_flow,
-                        use_pallas_corr=cfg.use_pallas_corr, **common)
+                        use_pallas_corr=cfg.use_pallas_corr,
+                        use_pallas_warp=cfg.use_pallas_warp, **common)
     if cfg.variant in ("flownet2_cs", "flownet2_css"):
         return FlowNet2CSS(stages=1 if cfg.variant == "flownet2_cs" else 2,
                            div_flow=cfg.div_flow,
-                           use_pallas_corr=cfg.use_pallas_corr, **common)
+                           use_pallas_corr=cfg.use_pallas_corr,
+                           use_pallas_warp=cfg.use_pallas_warp, **common)
     raise KeyError(f"unknown flow variant {cfg.variant!r}")

@@ -19,8 +19,12 @@ downgrade, SURVEY.md section 3 native census item 3). Layout NHWC; flow is
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 
 def _bilinear_sample_clamp(img, sx, sy):
@@ -77,11 +81,19 @@ def _bilinear_sample_clamp(img, sx, sy):
     return top * (one - wy) + bot * wy
 
 
-def resample2d(img, flow):
+def resample2d(img, flow, use_pallas: bool = False, interpret: bool = False):
     """Warp img by flow. img: (N, H, W, C); flow: (N, H, W, 2) -> (N, H, W, C).
 
     out[n, y, x] = img[n] sampled at (x + flow[n,y,x,0], y + flow[n,y,x,1]).
+
+    ``use_pallas`` routes the dense warp through the shift-accumulate Pallas
+    kernel below (value-exact vs this XLA path; differentiable via a
+    custom VJP that reuses the XLA formulation's gradient, the same policy
+    as ops/correlation.py). Falls back to XLA for degenerate fields and
+    images too large for the kernel's VMEM-resident layout.
     """
+    if use_pallas and _pallas_warp_supported(img):
+        return _resample2d_pallas_diff(img, flow, interpret)
     n, h, w, _ = flow.shape
 
     def one(im, fl):
@@ -92,6 +104,171 @@ def resample2d(img, flow):
             ys + fl[..., 1].astype(jnp.float32))
 
     return jax.vmap(one)(img, flow)
+
+
+# ---------------------------------------------------------------------------
+# Pallas dense-warp kernel (SURVEY.md section 3 "Resample2d (warp)" row:
+# "Pallas/XLA warp kernel [B]" — the XLA slice-gather above shipped first;
+# this is the kernel variant, built because the FlowNet2 cascade's four
+# dense warps are its documented ceiling: XLA's gather rate ~0.4G fetches/s
+# on this chip, ~1.5 ms/image at 384x288.)
+#
+# Design: a gather has no native TPU primitive, so the kernel reformulates
+# bilinear sampling as a SHIFT-ACCUMULATE over the integer displacement
+# range actually present in each row block:
+#
+#   out[y, x] = sum_{dy, dx} w_y(y, x, dy) * w_x(y, x, dx) * img[y+dy, x+dx]
+#
+# where w_y/w_x are the 2-tap anchored bilinear weights (nonzero only at
+# the anchor and anchor+1, computed exactly as the XLA path computes them,
+# so results are value-exact). Per row block the kernel reduces the (dy,
+# dx) loop to the block's own [min, max] anchor-offset ranges — smooth
+# flow fields (the cascade's regime: consecutive-video-frame flow) need
+# only a handful of passes, each a full-width VPU multiply-add:
+#
+#   * dy: a dynamic-start slice of the row-padded, VMEM-resident image —
+#     legal because H is an UNTILED leading dim in the kernel's (H, C, W)
+#     layout (Mosaic rule, same as ops/correlation.py's halo walk);
+#   * dx: pltpu.roll (lane rotate) with a dynamic shift; circularly
+#     wrapped lanes land on zero weights (coords are edge-clamped, so a
+#     nonzero-weight tap is always in-bounds).
+#
+# The (H, C, W) layout keeps W on the 128-lane axis (full use); C=3 rides
+# the sublanes at 3/8 occupancy — the price of keeping dynamic dy slices
+# on an untiled dim. The whole image lives in VMEM (a few MB at cascade
+# resolutions); oversized images fall back to the XLA path.
+# ---------------------------------------------------------------------------
+
+_PALLAS_WARP_VMEM_CAP = 10 * 1024 * 1024  # leave room for double buffering
+_WARP_BLOCK_H = 8
+
+
+def _pallas_warp_supported(img) -> bool:
+    n, h, w, c = img.shape
+    if h < 2 or w < 2:
+        return False  # degenerate fields: XLA path has the exact semantics
+    hb = -(-h // _WARP_BLOCK_H) * _WARP_BLOCK_H
+    # physical VMEM of the resident image block: sublanes pad C to 8,
+    # lanes pad W to 128
+    phys = (hb + 2 * _WARP_BLOCK_H) * max(c, 8) * (-(-w // 128) * 128) \
+        * jnp.dtype(img.dtype).itemsize
+    return phys <= _PALLAS_WARP_VMEM_CAP
+
+
+def _warp_kernel(img_ref, flow_ref, out_ref, *, block_h, h, w, c):
+    """One (image, row-block) step of the shift-accumulate warp.
+
+    img_ref:  (1, hb + 2*block_h, C, W) VMEM — whole row-padded image
+    flow_ref: (1, block_h, 2, W) VMEM
+    out_ref:  (1, block_h, C, W) VMEM
+    """
+    hi = pl.program_id(1)
+    base = hi * block_h
+    dt = out_ref.dtype
+    one = jnp.asarray(1.0, dt)
+    zero = jnp.asarray(0.0, dt)
+
+    u = flow_ref[0, :, 0, :].astype(jnp.float32)
+    v = flow_ref[0, :, 1, :].astype(jnp.float32)
+    ys = jax.lax.broadcasted_iota(jnp.float32, (block_h, w), 0) + base
+    xs = jax.lax.broadcasted_iota(jnp.float32, (block_h, w), 1)
+    # identical op sequence to _bilinear_sample_clamp (value-exactness)
+    sx = jnp.clip(xs + u, 0.0, w - 1.0)
+    sy = jnp.clip(ys + v, 0.0, h - 1.0)
+    x0 = jnp.minimum(jnp.floor(sx), w - 2.0)
+    y0 = jnp.minimum(jnp.floor(sy), h - 2.0)
+    wx = (sx - x0).astype(dt)
+    wy = (sy - y0).astype(dt)
+
+    # anchor offsets (integer-valued f32): taps live at offset and offset+1
+    dy0 = y0 - ys
+    dx0 = x0 - xs
+    # rows past the true image (last block's padding) produce discarded
+    # output; exclude them from the ranges (zero only widens, never wrong)
+    valid = ys <= (h - 1.0)
+    dy0r = jnp.where(valid, dy0, 0.0)
+    dx0r = jnp.where(valid, dx0, 0.0)
+    dy_lo = jnp.min(dy0r).astype(jnp.int32)
+    ny = jnp.max(dy0r).astype(jnp.int32) - dy_lo + 2
+    dx_lo = jnp.min(dx0r).astype(jnp.int32)
+    nx = jnp.max(dx0r).astype(jnp.int32) - dx_lo + 2
+
+    def dy_body(i, acc):
+        dyv = dy_lo + i
+        rows = img_ref[0, pl.ds(block_h + base + dyv, block_h)]
+        dyf = dyv.astype(jnp.float32)
+        wyd = jnp.where(dy0 == dyf, one - wy,
+                        jnp.where(dy0 + 1.0 == dyf, wy, zero))
+
+        def dx_body(j, inner):
+            dxv = dx_lo + j
+            shifted = pltpu.roll(rows, -dxv, axis=2)
+            dxf = dxv.astype(jnp.float32)
+            wxd = jnp.where(dx0 == dxf, one - wx,
+                            jnp.where(dx0 + 1.0 == dxf, wx, zero))
+            return inner + shifted * wxd[:, None, :]
+
+        inner = jax.lax.fori_loop(
+            0, nx, dx_body, jnp.zeros((block_h, c, w), dt))
+        return acc + inner * wyd[:, None, :]
+
+    out_ref[0] = jax.lax.fori_loop(
+        0, ny, dy_body, jnp.zeros((block_h, c, w), dt))
+
+
+def resample2d_pallas(img, flow, interpret: bool = False):
+    """Pallas shift-accumulate warp. Same contract as resample2d (forward
+    only; use resample2d(use_pallas=True) for the differentiable entry)."""
+    n, h, w, c = img.shape
+    bh = _WARP_BLOCK_H
+    hb = -(-h // bh) * bh
+
+    # (N, H, C, W) with bh padding rows above and below: every dynamic dy
+    # slice the kernel can request is in-bounds (padded rows only ever
+    # meet zero weights)
+    imgp = jnp.pad(jnp.transpose(img, (0, 1, 3, 2)),
+                   ((0, 0), (bh, bh + hb - h), (0, 0), (0, 0)))
+    flowp = jnp.pad(jnp.transpose(flow, (0, 1, 3, 2)),
+                    ((0, 0), (0, hb - h), (0, 0), (0, 0)))
+
+    kernel = functools.partial(_warp_kernel, block_h=bh, h=h, w=w, c=c)
+    out = pl.pallas_call(
+        kernel,
+        grid=(n, hb // bh),
+        in_specs=[
+            pl.BlockSpec((1, hb + 2 * bh, c, w), lambda ni, hi: (ni, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bh, 2, w), lambda ni, hi: (ni, hi, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, bh, c, w), lambda ni, hi: (ni, hi, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, hb, c, w), img.dtype),
+        interpret=interpret,
+    )(imgp, flowp)
+    return jnp.transpose(out[:, :h], (0, 1, 3, 2))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _resample2d_pallas_diff(img, flow, interpret=False):
+    return resample2d_pallas(img, flow, interpret=interpret)
+
+
+def _warp_fwd(img, flow, interpret=False):
+    return resample2d_pallas(img, flow, interpret=interpret), (img, flow)
+
+
+def _warp_bwd(interpret, res, g):
+    # Backward reuses the XLA formulation's gradient (same policy and
+    # rationale as ops/correlation.py: the warp backward is a tiny
+    # fraction of cascade fine-tune work; parity + finite-difference
+    # tested in tests/test_correlation_warp.py).
+    img, flow = res
+    _, vjp = jax.vjp(lambda a, b: resample2d(a, b), img, flow)
+    return vjp(g)
+
+
+_resample2d_pallas_diff.defvjp(_warp_fwd, _warp_bwd)
 
 
 def channelnorm(x, eps: float = 0.0):

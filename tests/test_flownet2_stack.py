@@ -38,6 +38,27 @@ def test_flownet2_forward_shapes(rng):
 
 
 @pytest.mark.slow
+def test_flownet2_pallas_warp_matches_xla_warp(rng):
+    """The cascade with use_pallas_warp=True (interpret mode on CPU) must
+    match the XLA-warp cascade: the warp kernel is value-exact to ~1 ulp
+    (see tests/test_correlation_warp.py::TestResample2dPallas), so the
+    full four-warp cascade stays within conv-amplified float noise."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    x = jnp.asarray(rng.normal(0, 0.3, (1, 64, 64, 6)), jnp.float32)
+    ref = FlowNet2(dtype=jnp.float32)
+    variables = jax.jit(ref.init, static_argnames="train")(
+        jax.random.PRNGKey(0), x, train=False)
+    want = np.asarray(jax.jit(
+        lambda v, x: ref.apply(v, x, train=False))(variables, x))
+    kern = FlowNet2(dtype=jnp.float32, use_pallas_warp=True)
+    with pltpu.force_tpu_interpret_mode():
+        got = np.asarray(jax.jit(
+            lambda v, x: kern.apply(v, x, train=False))(variables, x))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.slow
 def test_flownet2_full_cascade_golden(rng):
     """End-to-end numerical parity of the FULL cascade at fp32 (VERDICT
     round-1 item 2): random torch FlowNet2 -> convert_flownet2 -> flax
