@@ -151,19 +151,19 @@ def run_tpu_bench():
     return FRAMES / dt
 
 
-def run_clip_bench(cfg_name=None, flow_variant=None):
-    """Headline path: whole-clip batched tracking (tracking/clip_pipeline).
-
-    Flow on all frame pairs in one call, pose on all F*P persons in one
-    call, id chain as a device-side scan — one jit call per clip."""
+def build_clip_tracker(cfg_name=None, flow_variant=None):
+    """Build the ClipTracker exactly as the headline bench runs it (all
+    BENCH_* env knobs honored). Shared by run_clip_bench and
+    benchmarks/hbm_breakdown.py so the audited memory numbers come from
+    the same program the bench times. Returns (tracker, frame_h, frame_w).
+    """
     import jax
     import jax.numpy as jnp
 
     from flowtrack_tpu.config import get_config
     from flowtrack_tpu.models.flownet import FlowNetS
     from flowtrack_tpu.models.pose_resnet import get_pose_net
-    from flowtrack_tpu.tracking.clip_pipeline import ClipTracker, \
-        pad_detections
+    from flowtrack_tpu.tracking.clip_pipeline import ClipTracker
 
     from dataclasses import replace
 
@@ -193,7 +193,9 @@ def run_clip_bench(cfg_name=None, flow_variant=None):
                        use_pallas_corr=os.environ.get(
                            "BENCH_PALLAS_CORR", "1") == "1",
                        use_pallas_warp=os.environ.get(
-                           "BENCH_PALLAS_WARP", "0") == "1")
+                           "BENCH_PALLAS_WARP", "0") == "1",
+                       glue_dtype=os.environ.get(
+                           "BENCH_GLUE_DTYPE", "float32"))
         cfg = replace(cfg, flow=fcfg)
         flow_net = get_flow_net(fcfg)
     else:
@@ -271,6 +273,24 @@ def run_clip_bench(cfg_name=None, flow_variant=None):
 
     tracker = ClipTracker(cfg, pose, pose_vars, flow_net, flow_vars,
                           max_persons=PERSONS)
+    return tracker, h, w
+
+
+def run_clip_bench(cfg_name=None, flow_variant=None):
+    """Headline path: whole-clip batched tracking (tracking/clip_pipeline).
+
+    Flow on all frame pairs in one call, pose on all F*P persons in one
+    call, id chain as a device-side scan — one jit call per clip."""
+    import jax
+    import jax.numpy as jnp
+
+    from dataclasses import replace
+
+    from flowtrack_tpu.tracking.clip_pipeline import ClipTracker, \
+        pad_detections
+
+    tracker, h, w = build_clip_tracker(cfg_name, flow_variant)
+    cfg = tracker.cfg
     rng = np.random.default_rng(0)
     frames = rng.uniform(0, 255, (FRAMES, h, w, 3)).astype(np.float32)
     boxes = [[[20 + 15 * p, 30 + 10 * p, 60, 90] for p in range(PERSONS)]
@@ -355,7 +375,8 @@ def run_clip_bench(cfg_name=None, flow_variant=None):
         twin = ClipTracker(
             replace(cfg, track=replace(cfg.track, pose_chunk=0,
                                        flow_chunk=0)),
-            pose, pose_vars, flow_net, flow_vars, max_persons=PERSONS)
+            tracker.pose_model, tracker.pose_vars,
+            tracker.flow_model, tracker.flow_vars, max_persons=PERSONS)
         flops = program_flops(twin._clip_fn, twin.pose_vars,
                               twin.flow_vars, *single_clip,
                               *twin.empty_seed())

@@ -79,6 +79,11 @@ class FlowConfig:
     use_pallas_corr: bool = False  # Pallas cost-volume kernel (TPU) vs XLA
     use_pallas_warp: bool = False  # Pallas shift-accumulate warp vs XLA
     dtype: str = "bfloat16"
+    # FlowNet2 cascade inter-stage tensor dtype (full-res upsampled flows,
+    # warped frames, brightness errors): float32 = exact reference glue;
+    # bfloat16 halves the cascade's largest HBM intermediates (serving
+    # memory cap; EPE drift bounded by test)
+    glue_dtype: str = "float32"
 
 
 @dataclass(frozen=True)

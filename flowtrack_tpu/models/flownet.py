@@ -335,21 +335,28 @@ class FlowNet2(nn.Module):
     use_pallas_corr: bool = False
     use_pallas_warp: bool = False
     dtype: Any = jnp.float32
+    # dtype of the FULL-RESOLUTION inter-stage tensors (upsampled flows,
+    # warped frames, brightness errors, fusion inputs). fp32 matches the
+    # reference glue exactly (golden-parity default); bfloat16 halves the
+    # cascade's largest HBM-resident intermediates for memory-capped
+    # serving — EPE drift bounded by test (tests/test_flownet2_stack.py).
+    glue_dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         img1, img2 = x[..., :3], x[..., 3:]
+        gdt = self.glue_dtype
 
         flownetc = FlowNetC(use_bn=self.use_bn, dtype=self.dtype,
                             use_pallas_corr=self.use_pallas_corr,
                             name="flownetc")
         flow_c2 = flownetc(x, train=False)
-        flow_c = _upsample4(flow_c2 * self.div_flow)
+        flow_c = _upsample4(flow_c2 * self.div_flow).astype(gdt)
 
         def stage_input(flow_full):
-            warped = resample2d(img2.astype(jnp.float32), flow_full,
+            warped = resample2d(img2.astype(gdt), flow_full,
                                 use_pallas=self.use_pallas_warp)
-            err = channelnorm(img1.astype(jnp.float32) - warped)
+            err = channelnorm(img1.astype(gdt) - warped).astype(gdt)
             return jnp.concatenate(
                 [x, warped.astype(x.dtype),
                  (flow_full / self.div_flow).astype(x.dtype),
@@ -360,26 +367,26 @@ class FlowNet2(nn.Module):
         # stage inputs are 12-channel: img1+img2 (6) + warped (3) + flow (2)
         # + brightness error (1)
         flow_s1_2 = flownets1(stage_input(flow_c), train=False)
-        flow_s1 = _upsample4(flow_s1_2 * self.div_flow)
+        flow_s1 = _upsample4(flow_s1_2 * self.div_flow).astype(gdt)
 
         flownets2 = FlowNetS(use_bn=self.use_bn, dtype=self.dtype,
                              name="flownets_2")
         flow_s2_2 = flownets2(stage_input(flow_s1), train=False)
-        flow_s2 = _upsample4(flow_s2_2 * self.div_flow)
+        flow_s2 = _upsample4(flow_s2_2 * self.div_flow).astype(gdt)
 
         flownetsd = FlowNetSD(use_bn=self.use_bn, dtype=self.dtype,
                               name="flownets_d")
         flow_sd2 = flownetsd(x, train=False)
-        flow_sd = _upsample4(flow_sd2 / self.div_flow)
+        flow_sd = _upsample4(flow_sd2 / self.div_flow).astype(gdt)
 
-        norm_sd = channelnorm(flow_sd)
-        norm_s2 = channelnorm(flow_s2)
-        img1f = img1.astype(jnp.float32)
-        img2f = img2.astype(jnp.float32)
+        norm_sd = channelnorm(flow_sd).astype(gdt)
+        norm_s2 = channelnorm(flow_s2).astype(gdt)
+        img1f = img1.astype(gdt)
+        img2f = img2.astype(gdt)
         err_sd = channelnorm(img1f - resample2d(
-            img2f, flow_sd, use_pallas=self.use_pallas_warp))
+            img2f, flow_sd, use_pallas=self.use_pallas_warp)).astype(gdt)
         err_s2 = channelnorm(img1f - resample2d(
-            img2f, flow_s2, use_pallas=self.use_pallas_warp))
+            img2f, flow_s2, use_pallas=self.use_pallas_warp)).astype(gdt)
 
         fuse_in = jnp.concatenate(
             [img1f, flow_sd, flow_s2, norm_sd, norm_s2, err_sd, err_s2],
@@ -403,19 +410,22 @@ class FlowNet2CSS(nn.Module):
     use_pallas_corr: bool = False
     use_pallas_warp: bool = False
     dtype: Any = jnp.float32
+    glue_dtype: Any = jnp.float32  # see FlowNet2.glue_dtype
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         img1, img2 = x[..., :3], x[..., 3:]
+        gdt = self.glue_dtype
         flownetc = FlowNetC(use_bn=self.use_bn, dtype=self.dtype,
                             use_pallas_corr=self.use_pallas_corr,
                             name="flownetc")
-        flow = _upsample4(flownetc(x, train=False) * self.div_flow)
+        flow = _upsample4(flownetc(x, train=False)
+                          * self.div_flow).astype(gdt)
 
         def stage_input(flow_full):
-            warped = resample2d(img2.astype(jnp.float32), flow_full,
+            warped = resample2d(img2.astype(gdt), flow_full,
                                 use_pallas=self.use_pallas_warp)
-            err = channelnorm(img1.astype(jnp.float32) - warped)
+            err = channelnorm(img1.astype(gdt) - warped).astype(gdt)
             return jnp.concatenate(
                 [x, warped.astype(x.dtype),
                  (flow_full / self.div_flow).astype(x.dtype),
@@ -425,7 +435,7 @@ class FlowNet2CSS(nn.Module):
             s = FlowNetS(use_bn=self.use_bn, dtype=self.dtype,
                          name=f"flownets_{i + 1}")
             flow = _upsample4(s(stage_input(flow), train=False)
-                              * self.div_flow)
+                              * self.div_flow).astype(gdt)
         return flow.astype(jnp.float32)
 
 
@@ -483,10 +493,12 @@ def get_flow_net(cfg: FlowConfig):
     if cfg.variant == "flownet2":
         return FlowNet2(div_flow=cfg.div_flow,
                         use_pallas_corr=cfg.use_pallas_corr,
-                        use_pallas_warp=cfg.use_pallas_warp, **common)
+                        use_pallas_warp=cfg.use_pallas_warp,
+                        glue_dtype=jnp.dtype(cfg.glue_dtype), **common)
     if cfg.variant in ("flownet2_cs", "flownet2_css"):
         return FlowNet2CSS(stages=1 if cfg.variant == "flownet2_cs" else 2,
                            div_flow=cfg.div_flow,
                            use_pallas_corr=cfg.use_pallas_corr,
-                           use_pallas_warp=cfg.use_pallas_warp, **common)
+                           use_pallas_warp=cfg.use_pallas_warp,
+                           glue_dtype=jnp.dtype(cfg.glue_dtype), **common)
     raise KeyError(f"unknown flow variant {cfg.variant!r}")

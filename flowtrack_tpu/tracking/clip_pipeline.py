@@ -437,6 +437,8 @@ class ClipTracker:
             jax.vmap(clip_fn, in_axes=(None, None) + (0,) * 13))
         self.pose_vars = pose_vars
         self.flow_vars = flow_vars
+        self.pose_model = pose_model
+        self.flow_model = flow_model
         self.num_joints = cfg.model.num_joints
 
     def empty_seed(self):

@@ -38,6 +38,40 @@ def test_flownet2_forward_shapes(rng):
 
 
 @pytest.mark.slow
+def test_flownet2_bf16_glue_epe_bounded(rng):
+    """glue_dtype=bfloat16 (memory-capped serving: halves the cascade's
+    full-res inter-stage tensors in HBM) must stay EPE-close to the exact
+    fp32 glue: the glue tensors are INPUTS to subsequent conv stages, so
+    bf16 rounding (~0.4% relative) perturbs, not truncates, the result.
+    The bound is relative to the flow magnitude actually present."""
+    x = jnp.asarray(rng.normal(0, 0.3, (1, 64, 64, 6)), jnp.float32)
+    ref = FlowNet2(dtype=jnp.float32)
+    variables = jax.jit(ref.init, static_argnames="train")(
+        jax.random.PRNGKey(0), x, train=False)
+    want = np.asarray(jax.jit(
+        lambda v, x: ref.apply(v, x, train=False))(variables, x))
+    half = FlowNet2(dtype=jnp.float32, glue_dtype=jnp.bfloat16)
+    got = np.asarray(jax.jit(
+        lambda v, x: half.apply(v, x, train=False))(variables, x))
+    epe = np.sqrt(((got - want) ** 2).sum(-1))
+    scale = max(float(np.sqrt((want ** 2).sum(-1)).mean()), 1e-3)
+    assert float(epe.mean()) < 0.05 * scale, (epe.mean(), scale)
+    assert float(epe.max()) < 0.5 * scale, (epe.max(), scale)
+
+
+def test_flownet2_fp32_glue_is_default_and_bitwise():
+    """glue_dtype defaults to fp32 and the casts are no-ops there — the
+    golden-parity contract is untouched by the glue knob (the bf16 branch
+    is opt-in)."""
+    m = FlowNet2(dtype=jnp.float32)
+    assert m.glue_dtype == jnp.float32
+    from flowtrack_tpu.config import FlowConfig
+    from flowtrack_tpu.models.flownet import get_flow_net
+    net = get_flow_net(FlowConfig(variant="flownet2", dtype="float32"))
+    assert net.glue_dtype == jnp.dtype("float32")
+
+
+@pytest.mark.slow
 def test_flownet2_pallas_warp_matches_xla_warp(rng):
     """The cascade with use_pallas_warp=True (interpret mode on CPU) must
     match the XLA-warp cascade: the warp kernel is value-exact to ~1 ulp
