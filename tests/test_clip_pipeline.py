@@ -10,6 +10,7 @@ for appearing persons.
 from dataclasses import replace
 
 import numpy as np
+import pytest
 import jax.numpy as jnp
 
 from flowtrack_tpu.config import Config, ModelConfig
@@ -743,6 +744,7 @@ class ContentPose:
         return jnp.broadcast_to(hm, (n, HM_HW[0], HM_HW[1], K))
 
 
+@pytest.mark.slow
 def test_pose_chunk_matches_unchunked():
     """track.pose_chunk runs the backbone in lax.map chunks (memory cap for
     multi-stream serving); per-crop results must equal the one-call path —
@@ -778,6 +780,7 @@ def test_pose_chunk_matches_unchunked():
                                        err_msg=f"{key} chunk={pose_chunk}")
 
 
+@pytest.mark.slow
 def test_pose_chunk_composes_with_sharding():
     """pose_chunk under BOTH production sharded layouts: a frame-sharded
     single clip and clip-sharded batched streams must reproduce the

@@ -4,6 +4,7 @@ import json
 import sys
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -13,6 +14,7 @@ from flowtrack_tpu.models.pose_resnet import get_pose_net
 from tests.fixtures import save_image
 
 
+@pytest.mark.slow
 def test_demo_main(tmp_path, rng, monkeypatch, capsys):
     cfg = Config(model=ModelConfig(num_layers=50, image_size=(64, 64),
                                    heatmap_size=(16, 16), dtype="float32"))

@@ -157,6 +157,7 @@ def test_flownet2_cs_css_golden(rng, stages, variant):
     np.testing.assert_allclose(out, ref, atol=2e-3, rtol=1e-3)
 
 
+@pytest.mark.slow
 def test_fusion_forward_shapes(rng):
     x = jnp.asarray(rng.normal(0, 0.3, (1, 32, 32, 11)), jnp.float32)
     model = FlowNetFusion(dtype=jnp.float32)

@@ -11,6 +11,12 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+# Experimental subsystem (kept as a reproducible falsification record —
+# measured SLOWER than plain XLA on the chip, see module under test): its
+# bitwise-equality suite is the fast tier's single heaviest file (~290 s),
+# so the whole file rides the slow tier.
+pytestmark = pytest.mark.slow
+
 from flowtrack_tpu.config import ModelConfig
 from flowtrack_tpu.models.pose_resnet import Bottleneck, get_pose_net
 from flowtrack_tpu.models.quantize import _fold

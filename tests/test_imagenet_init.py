@@ -2,6 +2,7 @@
 PoseResNet backbone while the head keeps its fresh init."""
 
 import numpy as np
+import pytest
 import torch
 import jax
 import jax.numpy as jnp
@@ -15,6 +16,7 @@ from flowtrack_tpu.utils.torch_convert import (
 from tests.oracles.pose_resnet_torch import random_pose_resnet
 
 
+@pytest.mark.slow
 def test_backbone_overlay(rng):
     # the oracle's backbone keys ARE torchvision-style (conv1/bn1/layerL.B)
     oracle = random_pose_resnet(50, seed=11)

@@ -59,6 +59,7 @@ def test_setup_logging_file(tmp_path):
         setup_logging()  # restore console-only even if the assert fails
 
 
+@pytest.mark.slow
 def test_engine_eval_step(rng):
     from flax import linen as nn
 

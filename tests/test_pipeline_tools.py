@@ -79,6 +79,7 @@ class TestPosePredictor:
 
 
 class TestFlowPredictor:
+    @pytest.mark.slow
     def test_flow_shapes_and_rescale(self, rng):
         cfg = Config(flow=FlowConfig(variant="flownet_s", dtype="float32"))
         model = FlowNetS(dtype=jnp.float32)

@@ -64,6 +64,7 @@ def test_bn_folding_exact(float_model_and_vars):
     np.testing.assert_allclose(got, want, atol=5e-4, rtol=1e-3)
 
 
+@pytest.mark.slow
 def test_int8_close_to_float(float_model_and_vars):
     model, variables, x = float_model_and_vars
     want = np.asarray(model.apply(variables, jnp.asarray(x), train=False))

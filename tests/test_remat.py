@@ -4,6 +4,7 @@ Equality is exact in fp32 on CPU — remat only changes WHEN activations are
 (re)computed, never what."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -12,6 +13,7 @@ from flowtrack_tpu.engine.loss import joints_mse_loss
 from flowtrack_tpu.models.pose_resnet import PoseResNet
 
 
+@pytest.mark.slow
 def test_remat_same_forward_and_grads(rng):
     base_cfg = ModelConfig(num_layers=18, image_size=(32, 32),
                            heatmap_size=(8, 8), dtype="float32")

@@ -19,6 +19,7 @@ def test_zoo_covers_reference_checkpoints():
         assert e.reference_checkpoint
 
 
+@pytest.mark.slow
 def test_zoo_load_with_torch_sd():
     from tests.oracles.flownet_torch import FlowNetSTorch, random_net
     from flowtrack_tpu.utils.torch_convert import state_dict_to_numpy
