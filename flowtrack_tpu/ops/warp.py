@@ -170,8 +170,12 @@ def _warp_kernel(img_ref, flow_ref, out_ref, *, block_h, h, w, c):
 
     u = flow_ref[0, :, 0, :].astype(jnp.float32)
     v = flow_ref[0, :, 1, :].astype(jnp.float32)
-    ys = jax.lax.broadcasted_iota(jnp.float32, (block_h, w), 0) + base
-    xs = jax.lax.broadcasted_iota(jnp.float32, (block_h, w), 1)
+    # int32 iota + cast: Mosaic's tpu.iota only produces integer vectors
+    # (same rule as ops/crop.py; interpret=True does not enforce it)
+    ys = jax.lax.broadcasted_iota(jnp.int32, (block_h, w), 0) \
+        .astype(jnp.float32) + base
+    xs = jax.lax.broadcasted_iota(jnp.int32, (block_h, w), 1) \
+        .astype(jnp.float32)
     # identical op sequence to _bilinear_sample_clamp (value-exactness)
     sx = jnp.clip(xs + u, 0.0, w - 1.0)
     sy = jnp.clip(ys + v, 0.0, h - 1.0)
