@@ -155,6 +155,20 @@ def _pallas_warp_supported(img) -> bool:
     return phys <= _PALLAS_WARP_VMEM_CAP
 
 
+def _roll_lanes(rows, shift):
+    """Dynamic lane rotate of a (block_h, C, W) tile.
+
+    Mosaic's tpu.dynamic_rotate only handles 32-bit element types
+    (measured on-chip 2026-08-19: 'not implemented: Rotate with
+    non-32-bit data' for the bf16-glue cascade). Round-trip sub-32-bit
+    data through f32 — bf16->f32->bf16 is value-exact, so the kernel's
+    arithmetic (which stays in the data dtype) is unchanged."""
+    if rows.dtype.itemsize == 4:
+        return pltpu.roll(rows, shift, axis=2)
+    return pltpu.roll(rows.astype(jnp.float32), shift,
+                      axis=2).astype(rows.dtype)
+
+
 def _warp_kernel(img_ref, flow_ref, out_ref, *, block_h, h, w, c):
     """One (image, row-block) step of the shift-accumulate warp.
 
@@ -206,7 +220,7 @@ def _warp_kernel(img_ref, flow_ref, out_ref, *, block_h, h, w, c):
 
         def dx_body(j, inner):
             dxv = dx_lo + j
-            shifted = pltpu.roll(rows, -dxv, axis=2)
+            shifted = _roll_lanes(rows, -dxv)
             dxf = dxv.astype(jnp.float32)
             wxd = jnp.where(dx0 == dxf, one - wx,
                             jnp.where(dx0 + 1.0 == dxf, wx, zero))

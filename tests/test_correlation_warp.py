@@ -183,6 +183,23 @@ class TestResample2dPallas:
         tol = 2 * np.finfo(np.float32).eps * np.abs(img).max()
         np.testing.assert_allclose(got, want, rtol=0, atol=tol)
 
+    def test_bf16_matches_xla_bf16(self, rng):
+        # the bf16-glue cascade feeds bf16 images through the kernel;
+        # on-chip this exercises the f32-round-trip lane rotate
+        # (tpu.dynamic_rotate is 32-bit-only — see _roll_lanes). Values
+        # follow the same factored arithmetic as the XLA path, so the
+        # tolerance is the bf16 analog of the f32 ulp contract.
+        img = rng.normal(size=(2, 16, 24, 3)).astype(np.float32)
+        flow = rng.uniform(-5, 5, (2, 16, 24, 2)).astype(np.float32)
+        img16 = jnp.asarray(img, jnp.bfloat16)
+        fl = jnp.asarray(flow)
+        want = np.asarray(resample2d(img16, fl), np.float32)
+        from flowtrack_tpu.ops.warp import resample2d_pallas
+        got = np.asarray(resample2d_pallas(img16, fl, interpret=True),
+                         np.float32)
+        tol = 2 * 2.0 ** -8 * np.abs(img).max()  # 2 bf16 ulps
+        np.testing.assert_allclose(got, want, rtol=0, atol=tol)
+
     def test_bitwise_at_integer_flows(self, rng):
         img = rng.normal(size=(1, 16, 24, 3)).astype(np.float32)
         flow = rng.integers(-6, 7, (1, 16, 24, 2)).astype(np.float32)
