@@ -347,8 +347,15 @@ def run_clip_bench(cfg_name=None, flow_variant=None):
                 assert out[3].shape == (FRAMES, tracker.num_slots)
             break
         except Exception as e:  # noqa: BLE001 — OOM fallback only
-            if n_clips > 1 and ("memory" in str(e).lower()
-                                or "hbm" in str(e).lower()):
+            # match real allocator exhaustion only: a bare 'memory'
+            # substring once swallowed a Pallas 'memory space any'
+            # BlockSpec lowering error and mis-reported it as an HBM OOM
+            # (b4 2-stream, 2026-08-19)
+            msg = str(e).lower()
+            is_oom = ("resource_exhausted" in msg or "out of memory" in msg
+                      or "exceeds the limit" in msg
+                      or "allocating" in msg and "hbm" in msg)
+            if n_clips > 1 and is_oom:
                 print(f"bench: {n_clips}-clip program exceeded HBM; "
                       f"retrying with {n_clips // 2}", file=sys.stderr)
                 n_clips //= 2

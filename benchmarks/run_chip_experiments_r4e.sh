@@ -28,6 +28,12 @@ run b4p_warp     $B4P BENCH_CLIPS=1 BENCH_PALLAS_WARP=1 timeout 3600 python benc
 run b4p_c2_glue      $B4P BENCH_CLIPS=2 BENCH_GLUE_DTYPE=bfloat16 timeout 3600 python bench.py
 run b4p_c2_glue_warp $B4P BENCH_CLIPS=2 BENCH_GLUE_DTYPE=bfloat16 BENCH_PALLAS_WARP=1 timeout 3600 python bench.py
 
+# 384x288 2-stream retry: r4b's "exceeded HBM" at C=2 was actually the
+# vmapped-correlation Pallas lowering error masked by the loose OOM
+# matcher (both fixed) — C=2 at 384x288 has never been truly HBM-tested
+run b4_384_c2_glue_retry env BENCH_CFG=coco_res152_384x288 BENCH_FLOW=flownet2 \
+  BENCH_CLIPS=2 BENCH_GLUE_DTYPE=bfloat16 timeout 3600 python bench.py
+
 # 384x288 bf16-glue + warp kernel at C=1 — the direct A/B against
 # b4_glue_bf16's 44.83 f/s (the r4b attempt died on bf16 tpu.dynamic_rotate;
 # fixed via the f32-round-trip lane rotate in ops/warp.py)

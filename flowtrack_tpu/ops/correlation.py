@@ -147,16 +147,49 @@ def correlation_pallas(f1, f2, max_displacement: int = 20, stride2: int = 2,
     return jnp.transpose(out[:, :, :h], (0, 2, 3, 1))
 
 
+@functools.lru_cache(maxsize=None)
+def _batchable_pallas(max_displacement: int, stride2: int, interpret: bool):
+    """correlation_pallas with a custom vmap rule.
+
+    Pallas' automatic pallas_call batching prepends a grid dim and gives
+    every block an index_map over it — but the kernel's f2 operand lives
+    in memory space ANY (HBM, manually DMA'd), and the TPU lowering only
+    accepts ANY-space blocks with a TRIVIAL index_map (verified on
+    hardware 2026-08-19: the C>=2-stream FlowNet2 clip program failed to
+    lower; bench.py's OOM fallback masked it by matching 'memory' in the
+    error text). Correlation is independent per image, so the mapped axis
+    folds into the kernel's own image grid dim — exact semantics, and a
+    bigger grid for the same program."""
+
+    @jax.custom_batching.custom_vmap
+    def call(f1, f2):
+        return correlation_pallas(f1, f2, max_displacement, stride2,
+                                  interpret=interpret)
+
+    @call.def_vmap
+    def _rule(axis_size, in_batched, f1, f2):  # noqa: ANN001
+        f1_b, f2_b = in_batched
+        if not f1_b:
+            f1 = jnp.broadcast_to(f1[None], (axis_size,) + f1.shape)
+        if not f2_b:
+            f2 = jnp.broadcast_to(f2[None], (axis_size,) + f2.shape)
+        b, n = f1.shape[0], f1.shape[1]
+        out = call(f1.reshape((b * n,) + f1.shape[2:]),
+                   f2.reshape((b * n,) + f2.shape[2:]))
+        return out.reshape((b, n) + out.shape[1:]), True
+
+    return call
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
 def _correlation_pallas_diff(f1, f2, max_displacement, stride2,
                              interpret=False):
-    return correlation_pallas(f1, f2, max_displacement, stride2,
-                              interpret=interpret)
+    return _batchable_pallas(max_displacement, stride2, interpret)(f1, f2)
 
 
 def _corr_fwd(f1, f2, max_displacement, stride2, interpret=False):
-    return correlation_pallas(f1, f2, max_displacement, stride2,
-                              interpret=interpret), (f1, f2)
+    return _batchable_pallas(max_displacement, stride2,
+                             interpret)(f1, f2), (f1, f2)
 
 
 def _corr_bwd(max_displacement, stride2, interpret, res, g):

@@ -14,6 +14,7 @@ import jax
 import jax.numpy as jnp
 
 from flowtrack_tpu.ops.correlation import (
+    correlation,
     correlation_pallas,
     correlation_xla,
     displacement_grid,
@@ -50,6 +51,43 @@ class TestCorrelation:
         got = np.asarray(correlation_pallas(
             f1, f2, max_displacement=4, stride2=2, block_h=4, interpret=True))
         np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+    def test_pallas_vmap_folds_into_image_dim(self, rng):
+        """vmap over the Pallas path (the C-stream clips layout) must hit
+        the custom batching rule — Pallas' automatic pallas_call batching
+        gives the HBM-resident f2 operand a non-trivial index_map, which
+        the TPU lowering rejects (measured on-chip 2026-08-19; bench.py's
+        OOM fallback masked it by matching 'memory' in the error). The
+        rule folds the mapped axis into the kernel's image dim: bitwise
+        vs stacked unbatched calls, gradients match the XLA formulation,
+        and the real TPU lowering (jax.export, no chip needed) accepts
+        the vmapped program."""
+        import jax
+        import jax.numpy as jnp
+
+        f1 = jnp.asarray(rng.normal(size=(2, 3, 8, 16, 8)), jnp.float32)
+        f2 = jnp.asarray(rng.normal(size=(2, 3, 8, 16, 8)), jnp.float32)
+        fi = jax.vmap(lambda a, b: correlation(
+            a, b, max_displacement=4, stride2=2, use_pallas=True,
+            interpret=True))
+        got = np.asarray(fi(f1, f2))
+        want = np.stack([np.asarray(correlation(
+            f1[i], f2[i], max_displacement=4, stride2=2, use_pallas=True,
+            interpret=True)) for i in range(2)])
+        np.testing.assert_array_equal(got, want)
+
+        g = jax.grad(lambda a: jnp.sum(jnp.sin(fi(a, f2))))(f1)
+        gx = jax.grad(lambda a: jnp.sum(jnp.sin(jax.vmap(
+            lambda x, y: correlation_xla(x, y, 4, 2))(a, f2))))(f1)
+        np.testing.assert_allclose(np.asarray(g), np.asarray(gx),
+                                   rtol=1e-5, atol=1e-5)
+
+        # the regression pin: TPU lowering of the vmapped NON-interpret
+        # kernel (this is what failed on hardware)
+        ftpu = jax.vmap(lambda a, b: correlation(
+            a, b, max_displacement=4, stride2=2, use_pallas=True))
+        exp = jax.export.export(jax.jit(ftpu), platforms=["tpu"])(f1, f2)
+        assert exp.out_avals[0].shape == (2, 3, 8, 16, 25)
 
     @pytest.mark.slow
     def test_pallas_full_displacement_grid(self, rng):
