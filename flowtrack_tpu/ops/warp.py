@@ -169,12 +169,21 @@ def _roll_lanes(rows, shift):
                       axis=2).astype(rows.dtype)
 
 
-def _warp_kernel(img_ref, flow_ref, out_ref, *, block_h, h, w, c):
+def _warp_kernel(img_ref, flow_ref, out_ref, *, block_h, h, w, wp, c):
     """One (image, row-block) step of the shift-accumulate warp.
 
-    img_ref:  (1, hb + 2*block_h, C, W) VMEM — whole row-padded image
-    flow_ref: (1, block_h, 2, W) VMEM
-    out_ref:  (1, block_h, C, W) VMEM
+    img_ref:  (1, hb + 2*block_h, C, WP) VMEM — whole row-padded image
+    flow_ref: (1, block_h, 2, WP) VMEM
+    out_ref:  (1, block_h, C, WP) VMEM
+
+    WP is the 128-aligned lane width (tpu.dynamic_rotate rejects
+    unaligned lane dims — measured on-chip: 'unsupported unaligned
+    shape' at W=288); w is the logical width. Pad lanes hold zero image
+    and zero flow; their clamped coords would poison the adaptive
+    displacement ranges, so the valid mask excludes them, their weights
+    are zero for every looped displacement, and a lane-wrapped rotate
+    can only deliver values onto zero weights (a valid tap's lane index
+    is <= w-1 < WP, so the real taps never wrap).
     """
     hi = pl.program_id(1)
     base = hi * block_h
@@ -186,9 +195,9 @@ def _warp_kernel(img_ref, flow_ref, out_ref, *, block_h, h, w, c):
     v = flow_ref[0, :, 1, :].astype(jnp.float32)
     # int32 iota + cast: Mosaic's tpu.iota only produces integer vectors
     # (same rule as ops/crop.py; interpret=True does not enforce it)
-    ys = jax.lax.broadcasted_iota(jnp.int32, (block_h, w), 0) \
+    ys = jax.lax.broadcasted_iota(jnp.int32, (block_h, wp), 0) \
         .astype(jnp.float32) + base
-    xs = jax.lax.broadcasted_iota(jnp.int32, (block_h, w), 1) \
+    xs = jax.lax.broadcasted_iota(jnp.int32, (block_h, wp), 1) \
         .astype(jnp.float32)
     # identical op sequence to _bilinear_sample_clamp (value-exactness)
     sx = jnp.clip(xs + u, 0.0, w - 1.0)
@@ -201,9 +210,10 @@ def _warp_kernel(img_ref, flow_ref, out_ref, *, block_h, h, w, c):
     # anchor offsets (integer-valued f32): taps live at offset and offset+1
     dy0 = y0 - ys
     dx0 = x0 - xs
-    # rows past the true image (last block's padding) produce discarded
-    # output; exclude them from the ranges (zero only widens, never wrong)
-    valid = ys <= (h - 1.0)
+    # rows past the true image (last block's padding) and pad lanes
+    # produce discarded output; exclude them from the ranges (zero only
+    # widens, never wrong)
+    valid = (ys <= (h - 1.0)) & (xs <= (w - 1.0))
     dy0r = jnp.where(valid, dy0, 0.0)
     dx0r = jnp.where(valid, dx0, 0.0)
     dy_lo = jnp.min(dy0r).astype(jnp.int32)
@@ -227,11 +237,11 @@ def _warp_kernel(img_ref, flow_ref, out_ref, *, block_h, h, w, c):
             return inner + shifted * wxd[:, None, :]
 
         inner = jax.lax.fori_loop(
-            0, nx, dx_body, jnp.zeros((block_h, c, w), dt))
+            0, nx, dx_body, jnp.zeros((block_h, c, wp), dt))
         return acc + inner * wyd[:, None, :]
 
     out_ref[0] = jax.lax.fori_loop(
-        0, ny, dy_body, jnp.zeros((block_h, c, w), dt))
+        0, ny, dy_body, jnp.zeros((block_h, c, wp), dt))
 
 
 def resample2d_pallas(img, flow, interpret: bool = False):
@@ -240,31 +250,34 @@ def resample2d_pallas(img, flow, interpret: bool = False):
     n, h, w, c = img.shape
     bh = _WARP_BLOCK_H
     hb = -(-h // bh) * bh
+    wp = -(-w // 128) * 128  # tpu.dynamic_rotate needs 128-aligned lanes
 
     # (N, H, C, W) with bh padding rows above and below: every dynamic dy
     # slice the kernel can request is in-bounds (padded rows only ever
-    # meet zero weights)
+    # meet zero weights); lanes padded to WP (see _warp_kernel docstring)
     imgp = jnp.pad(jnp.transpose(img, (0, 1, 3, 2)),
-                   ((0, 0), (bh, bh + hb - h), (0, 0), (0, 0)))
+                   ((0, 0), (bh, bh + hb - h), (0, 0), (0, wp - w)))
     flowp = jnp.pad(jnp.transpose(flow, (0, 1, 3, 2)),
-                    ((0, 0), (0, hb - h), (0, 0), (0, 0)))
+                    ((0, 0), (0, hb - h), (0, 0), (0, wp - w)))
 
-    kernel = functools.partial(_warp_kernel, block_h=bh, h=h, w=w, c=c)
+    kernel = functools.partial(_warp_kernel, block_h=bh, h=h, w=w, wp=wp,
+                               c=c)
     out = pl.pallas_call(
         kernel,
         grid=(n, hb // bh),
         in_specs=[
-            pl.BlockSpec((1, hb + 2 * bh, c, w), lambda ni, hi: (ni, 0, 0, 0),
+            pl.BlockSpec((1, hb + 2 * bh, c, wp),
+                         lambda ni, hi: (ni, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bh, 2, w), lambda ni, hi: (ni, hi, 0, 0),
+            pl.BlockSpec((1, bh, 2, wp), lambda ni, hi: (ni, hi, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, bh, c, w), lambda ni, hi: (ni, hi, 0, 0),
+        out_specs=pl.BlockSpec((1, bh, c, wp), lambda ni, hi: (ni, hi, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n, hb, c, w), img.dtype),
+        out_shape=jax.ShapeDtypeStruct((n, hb, c, wp), img.dtype),
         interpret=interpret,
     )(imgp, flowp)
-    return jnp.transpose(out[:, :h], (0, 1, 3, 2))
+    return jnp.transpose(out[:, :h, :, :w], (0, 1, 3, 2))
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
