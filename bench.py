@@ -189,11 +189,15 @@ def build_clip_tracker(cfg_name=None, flow_variant=None):
 
         from flowtrack_tpu.models.flownet import get_flow_net
 
+        # BENCH_PALLAS_WARP: 0 = XLA slice-gather, 1 = shift-accumulate
+        # kernel, mm/2 = matmul kernel (ops/warp.py)
+        wflag = os.environ.get("BENCH_PALLAS_WARP", "0")
         fcfg = replace(cfg.flow, variant=flow_variant,
                        use_pallas_corr=os.environ.get(
                            "BENCH_PALLAS_CORR", "1") == "1",
-                       use_pallas_warp=os.environ.get(
-                           "BENCH_PALLAS_WARP", "0") == "1",
+                       use_pallas_warp=wflag in ("1", "2", "mm"),
+                       pallas_warp_impl="matmul" if wflag in ("2", "mm")
+                       else "shift",
                        glue_dtype=os.environ.get(
                            "BENCH_GLUE_DTYPE", "float32"))
         cfg = replace(cfg, flow=fcfg)

@@ -32,7 +32,8 @@ import jax  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
 
 from benchmarks.probe_stages import measure  # noqa: E402
-from flowtrack_tpu.ops.warp import resample2d, resample2d_pallas  # noqa: E402
+from flowtrack_tpu.ops.warp import (resample2d, resample2d_pallas,  # noqa: E402
+                                    resample2d_pallas_mm)
 
 
 def flows(regime: str, n, h, w, rng):
@@ -67,7 +68,9 @@ def main() -> None:
         fl = flows(regime, n, h, w, rng)
         rng_span = float(jnp.abs(fl).max())
         for impl, fn in (("xla", lambda a, b: resample2d(a, b)),
-                         ("pallas", lambda a, b: resample2d_pallas(a, b))):
+                         ("pallas", lambda a, b: resample2d_pallas(a, b)),
+                         ("pallas_mm",
+                          lambda a, b: resample2d_pallas_mm(a, b))):
             try:
                 ms = measure(fn, img, fl, perturb=0)
                 print(json.dumps({
@@ -76,9 +79,12 @@ def main() -> None:
                     "ms_per_batch": round(ms, 3),
                     "us_per_image": round(1e3 * ms / n, 1)}), flush=True)
             except Exception as e:  # noqa: BLE001 — report, keep probing
+                s = str(e)
+                i = s.lower().find("failed to compile")
                 print(json.dumps({
                     "probe": "dense_warp", "impl": impl, "regime": regime,
-                    "error": str(e)[-300:]}), flush=True)
+                    "error": s[i:i + 300] if i >= 0 else s[:300]}),
+                    flush=True)
 
 
 if __name__ == "__main__":

@@ -77,7 +77,11 @@ class FlowConfig:
     corr_max_displacement: int = 20
     corr_stride2: int = 2
     use_pallas_corr: bool = False  # Pallas cost-volume kernel (TPU) vs XLA
-    use_pallas_warp: bool = False  # Pallas shift-accumulate warp vs XLA
+    use_pallas_warp: bool = False  # Pallas warp kernel vs XLA slice-gather
+    # which Pallas warp kernel: "shift" = shift-accumulate (VPU,
+    # value-exact vs XLA), "matmul" = one-hot-matrix MXU contraction
+    # (f32 HIGHEST, ~1 ulp) — ops/warp.py
+    pallas_warp_impl: str = "shift"
     dtype: str = "bfloat16"
     # FlowNet2 cascade inter-stage tensor dtype (full-res upsampled flows,
     # warped frames, brightness errors): float32 = exact reference glue;

@@ -334,6 +334,7 @@ class FlowNet2(nn.Module):
     div_flow: float = 20.0
     use_pallas_corr: bool = False
     use_pallas_warp: bool = False
+    warp_matmul: bool = False  # matmul warp kernel variant (ops/warp.py)
     dtype: Any = jnp.float32
     # dtype of the FULL-RESOLUTION inter-stage tensors (upsampled flows,
     # warped frames, brightness errors, fusion inputs). fp32 matches the
@@ -355,7 +356,8 @@ class FlowNet2(nn.Module):
 
         def stage_input(flow_full):
             warped = resample2d(img2.astype(gdt), flow_full,
-                                use_pallas=self.use_pallas_warp)
+                                use_pallas=self.use_pallas_warp,
+                                matmul=self.warp_matmul)
             err = channelnorm(img1.astype(gdt) - warped).astype(gdt)
             return jnp.concatenate(
                 [x, warped.astype(x.dtype),
@@ -384,9 +386,11 @@ class FlowNet2(nn.Module):
         img1f = img1.astype(gdt)
         img2f = img2.astype(gdt)
         err_sd = channelnorm(img1f - resample2d(
-            img2f, flow_sd, use_pallas=self.use_pallas_warp)).astype(gdt)
+            img2f, flow_sd, use_pallas=self.use_pallas_warp,
+            matmul=self.warp_matmul)).astype(gdt)
         err_s2 = channelnorm(img1f - resample2d(
-            img2f, flow_s2, use_pallas=self.use_pallas_warp)).astype(gdt)
+            img2f, flow_s2, use_pallas=self.use_pallas_warp,
+            matmul=self.warp_matmul)).astype(gdt)
 
         fuse_in = jnp.concatenate(
             [img1f, flow_sd, flow_s2, norm_sd, norm_s2, err_sd, err_s2],
@@ -409,6 +413,7 @@ class FlowNet2CSS(nn.Module):
     div_flow: float = 20.0
     use_pallas_corr: bool = False
     use_pallas_warp: bool = False
+    warp_matmul: bool = False  # matmul warp kernel variant (ops/warp.py)
     dtype: Any = jnp.float32
     glue_dtype: Any = jnp.float32  # see FlowNet2.glue_dtype
 
@@ -424,7 +429,8 @@ class FlowNet2CSS(nn.Module):
 
         def stage_input(flow_full):
             warped = resample2d(img2.astype(gdt), flow_full,
-                                use_pallas=self.use_pallas_warp)
+                                use_pallas=self.use_pallas_warp,
+                                matmul=self.warp_matmul)
             err = channelnorm(img1.astype(gdt) - warped).astype(gdt)
             return jnp.concatenate(
                 [x, warped.astype(x.dtype),
@@ -494,11 +500,13 @@ def get_flow_net(cfg: FlowConfig):
         return FlowNet2(div_flow=cfg.div_flow,
                         use_pallas_corr=cfg.use_pallas_corr,
                         use_pallas_warp=cfg.use_pallas_warp,
+                        warp_matmul=cfg.pallas_warp_impl == "matmul",
                         glue_dtype=jnp.dtype(cfg.glue_dtype), **common)
     if cfg.variant in ("flownet2_cs", "flownet2_css"):
         return FlowNet2CSS(stages=1 if cfg.variant == "flownet2_cs" else 2,
                            div_flow=cfg.div_flow,
                            use_pallas_corr=cfg.use_pallas_corr,
                            use_pallas_warp=cfg.use_pallas_warp,
+                        warp_matmul=cfg.pallas_warp_impl == "matmul",
                            glue_dtype=jnp.dtype(cfg.glue_dtype), **common)
     raise KeyError(f"unknown flow variant {cfg.variant!r}")

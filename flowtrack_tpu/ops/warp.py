@@ -81,19 +81,22 @@ def _bilinear_sample_clamp(img, sx, sy):
     return top * (one - wy) + bot * wy
 
 
-def resample2d(img, flow, use_pallas: bool = False, interpret: bool = False):
+def resample2d(img, flow, use_pallas: bool = False, interpret: bool = False,
+               matmul: bool = False):
     """Warp img by flow. img: (N, H, W, C); flow: (N, H, W, 2) -> (N, H, W, C).
 
     out[n, y, x] = img[n] sampled at (x + flow[n,y,x,0], y + flow[n,y,x,1]).
 
-    ``use_pallas`` routes the dense warp through the shift-accumulate Pallas
-    kernel below (value-exact vs this XLA path; differentiable via a
-    custom VJP that reuses the XLA formulation's gradient, the same policy
-    as ops/correlation.py). Falls back to XLA for degenerate fields and
+    ``use_pallas`` routes the dense warp through a Pallas kernel —
+    ``matmul=False``: the shift-accumulate kernel (value-exact vs this
+    XLA path); ``matmul=True``: the MXU matmul kernel (f32-contraction,
+    ~1 ulp of the XLA path). Both differentiable via a custom VJP that
+    reuses the XLA formulation's gradient, the same policy as
+    ops/correlation.py. Falls back to XLA for degenerate fields and
     images too large for the kernel's VMEM-resident layout.
     """
     if use_pallas and _pallas_warp_supported(img):
-        return _resample2d_pallas_diff(img, flow, interpret)
+        return _resample2d_pallas_diff(img, flow, interpret, matmul)
     n, h, w, _ = flow.shape
 
     def one(im, fl):
@@ -280,16 +283,126 @@ def resample2d_pallas(img, flow, interpret: bool = False):
     return jnp.transpose(out[:, :h, :, :w], (0, 1, 3, 2))
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
-def _resample2d_pallas_diff(img, flow, interpret=False):
-    return resample2d_pallas(img, flow, interpret=interpret)
+def _warp_kernel_mm(img_ref, flow_ref, out_ref, *, block_h, h, w, wp, c):
+    """Matmul variant: the x-interpolation as an MXU contraction.
+
+    The shift-accumulate kernel's dx loop is a dynamic lane rotate per
+    displacement — data-dependent pass count, and tpu.dynamic_rotate is
+    the most constrained Mosaic op we use (32-bit only, 128-aligned
+    only). This variant eliminates it: per output row b, bilinear
+    x-interpolation is a linear map, i.e. one (WP_in, WP_out) matrix
+    A[b] with exactly two nonzeros per column — A[b, i, j] =
+    (i == x0[b,j])·(1−wx[b,j]) + (i == x0[b,j]+1)·wx[b,j] — so
+
+        out[b, :, j] = Σ_i rows_dy[b, :, i] · A[b, i, j]
+
+    is a (C, WP) × (WP, WP) matmul per row, on the MXU, covering every
+    x-displacement at once. A is dy-independent: built once per block,
+    reused by each pass of the (still range-adaptive) dy loop. Weights
+    are computed in the data dtype (mirroring the XLA path's products),
+    contracted in f32 at HIGHEST precision.
+    """
+    hi = pl.program_id(1)
+    base = hi * block_h
+    dt = out_ref.dtype
+    one = jnp.asarray(1.0, dt)
+    zero = jnp.asarray(0.0, dt)
+
+    u = flow_ref[0, :, 0, :].astype(jnp.float32)
+    v = flow_ref[0, :, 1, :].astype(jnp.float32)
+    ys = jax.lax.broadcasted_iota(jnp.int32, (block_h, wp), 0) \
+        .astype(jnp.float32) + base
+    xs = jax.lax.broadcasted_iota(jnp.int32, (block_h, wp), 1) \
+        .astype(jnp.float32)
+    sx = jnp.clip(xs + u, 0.0, w - 1.0)
+    sy = jnp.clip(ys + v, 0.0, h - 1.0)
+    x0 = jnp.minimum(jnp.floor(sx), w - 2.0)
+    y0 = jnp.minimum(jnp.floor(sy), h - 2.0)
+    wx = (sx - x0).astype(dt)
+    wy = (sy - y0).astype(dt)
+
+    dy0 = y0 - ys
+    valid = (ys <= (h - 1.0)) & (xs <= (w - 1.0))
+    dy0r = jnp.where(valid, dy0, 0.0)
+    dy_lo = jnp.min(dy0r).astype(jnp.int32)
+    ny = jnp.max(dy0r).astype(jnp.int32) - dy_lo + 2
+
+    # A[b, i, j]: weight of input lane i for output lane j of row b.
+    # Selects run in f32: a sub-32-bit select here makes Mosaic relayout
+    # the 3-D i1 mask between (8,128) and (16,128) tilings — 'Invalid
+    # relayout' (measured); the WEIGHT VALUES stay dt-rounded (wx is
+    # already .astype(dt)) so bf16 images keep bf16-path products.
+    x0i = x0.astype(jnp.int32)                      # (bh, wp)
+    wxf = wx.astype(jnp.float32)
+    omf = (one - wx).astype(jnp.float32)
+    win = jax.lax.broadcasted_iota(jnp.int32, (block_h, wp, wp), 1)
+    a_mat = (jnp.where(win == x0i[:, None, :], omf[:, None, :], 0.0)
+             + jnp.where(win == x0i[:, None, :] + 1, wxf[:, None, :], 0.0)
+             )                                      # (bh, wp_in, wp_out)
+
+    def dy_body(i, acc):
+        dyv = dy_lo + i
+        rows = img_ref[0, pl.ds(block_h + base + dyv, block_h)]
+        rows32 = rows.astype(jnp.float32)
+        dyf = dyv.astype(jnp.float32)
+        wyd = jnp.where(dy0 == dyf, one - wy,
+                        jnp.where(dy0 + 1.0 == dyf, wy, zero))
+        inner = jnp.stack([
+            jax.lax.dot(rows32[b], a_mat[b],
+                        precision=jax.lax.Precision.HIGHEST)
+            for b in range(block_h)])               # (bh, C, wp)
+        return acc + inner * wyd.astype(jnp.float32)[:, None, :]
+
+    acc = jax.lax.fori_loop(
+        0, ny, dy_body, jnp.zeros((block_h, c, wp), jnp.float32))
+    out_ref[0] = acc.astype(dt)
 
 
-def _warp_fwd(img, flow, interpret=False):
-    return resample2d_pallas(img, flow, interpret=interpret), (img, flow)
+def resample2d_pallas_mm(img, flow, interpret: bool = False):
+    """Pallas matmul warp (see _warp_kernel_mm). Same contract as
+    resample2d_pallas."""
+    n, h, w, c = img.shape
+    bh = _WARP_BLOCK_H
+    hb = -(-h // bh) * bh
+    wp = -(-w // 128) * 128
+
+    imgp = jnp.pad(jnp.transpose(img, (0, 1, 3, 2)),
+                   ((0, 0), (bh, bh + hb - h), (0, 0), (0, wp - w)))
+    flowp = jnp.pad(jnp.transpose(flow, (0, 1, 3, 2)),
+                    ((0, 0), (0, hb - h), (0, 0), (0, wp - w)))
+
+    kernel = functools.partial(_warp_kernel_mm, block_h=bh, h=h, w=w,
+                               wp=wp, c=c)
+    out = pl.pallas_call(
+        kernel,
+        grid=(n, hb // bh),
+        in_specs=[
+            pl.BlockSpec((1, hb + 2 * bh, c, wp),
+                         lambda ni, hi: (ni, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bh, 2, wp), lambda ni, hi: (ni, hi, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, bh, c, wp), lambda ni, hi: (ni, hi, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, hb, c, wp), img.dtype),
+        interpret=interpret,
+    )(imgp, flowp)
+    return jnp.transpose(out[:, :h, :, :w], (0, 1, 3, 2))
 
 
-def _warp_bwd(interpret, res, g):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def _resample2d_pallas_diff(img, flow, interpret=False, matmul=False):
+    fn = resample2d_pallas_mm if matmul else resample2d_pallas
+    return fn(img, flow, interpret=interpret)
+
+
+def _warp_fwd(img, flow, interpret=False, matmul=False):
+    fn = resample2d_pallas_mm if matmul else resample2d_pallas
+    return fn(img, flow, interpret=interpret), (img, flow)
+
+
+def _warp_bwd(interpret, matmul, res, g):
     # Backward reuses the XLA formulation's gradient (same policy and
     # rationale as ops/correlation.py: the warp backward is a tiny
     # fraction of cascade fine-tune work; parity + finite-difference

@@ -193,17 +193,25 @@ class TestResample2d:
 
 
 class TestResample2dPallas:
-    """The Pallas shift-accumulate warp kernel must reproduce the XLA
-    slice-gather path. Tolerance note (measured): strict bitwise equality
-    is not well-defined for this op — jitting the EXISTING XLA path
-    already moves results by 1 ulp vs eager (XLA contracts mul+add into
-    FMA), so the contract pinned here is <=2 ulp against the XLA path,
-    plus TRUE bitwise equality at integer flows where every weight is an
-    exact 0/1 and no FMA rounding can differ."""
+    """BOTH Pallas warp kernels (shift-accumulate and matmul,
+    ops/warp.py) must reproduce the XLA slice-gather path. Tolerance
+    note (measured): strict bitwise equality is not well-defined for
+    this op — jitting the EXISTING XLA path already moves results by 1
+    ulp vs eager (XLA contracts mul+add into FMA) — so the contract
+    pinned here is a few ulp against the XLA path (shift: FMA-order
+    differences; matmul: f32 HIGHEST contraction), plus TRUE bitwise
+    equality at integer flows where every weight is an exact 0/1 and no
+    rounding can differ."""
 
-    def _pallas(self, img, flow):
-        from flowtrack_tpu.ops.warp import resample2d_pallas
-        return np.asarray(resample2d_pallas(
+    @pytest.fixture(params=["shift", "matmul"])
+    def impl(self, request):
+        return request.param
+
+    def _pallas(self, img, flow, impl="shift"):
+        from flowtrack_tpu.ops.warp import (resample2d_pallas,
+                                            resample2d_pallas_mm)
+        fn = resample2d_pallas_mm if impl == "matmul" else resample2d_pallas
+        return np.asarray(fn(
             jnp.asarray(img), jnp.asarray(flow), interpret=True))
 
     @pytest.mark.parametrize("h,w,c,scale", [
@@ -213,36 +221,36 @@ class TestResample2dPallas:
         (8, 128, 2, 5.0),     # full lane tile
         (16, 24, 3, 300.0),   # everything clamped to the edges
     ])
-    def test_matches_xla_within_ulp(self, rng, h, w, c, scale):
+    def test_matches_xla_within_ulp(self, rng, impl, h, w, c, scale):
         img = rng.normal(size=(2, h, w, c)).astype(np.float32)
         flow = (rng.uniform(-scale, scale, (2, h, w, 2))).astype(np.float32)
         want = np.asarray(resample2d(jnp.asarray(img), jnp.asarray(flow)))
-        got = self._pallas(img, flow)
-        tol = 2 * np.finfo(np.float32).eps * np.abs(img).max()
+        got = self._pallas(img, flow, impl)
+        tol = 4 * np.finfo(np.float32).eps * np.abs(img).max()
         np.testing.assert_allclose(got, want, rtol=0, atol=tol)
 
-    def test_bf16_matches_xla_bf16(self, rng):
-        # the bf16-glue cascade feeds bf16 images through the kernel;
-        # on-chip this exercises the f32-round-trip lane rotate
-        # (tpu.dynamic_rotate is 32-bit-only — see _roll_lanes). Values
-        # follow the same factored arithmetic as the XLA path, so the
-        # tolerance is the bf16 analog of the f32 ulp contract.
+    def test_bf16_matches_xla_bf16(self, rng, impl):
+        # the bf16-glue cascade feeds bf16 images through the kernels;
+        # on-chip this exercises the f32-round-trip lane rotate (shift:
+        # tpu.dynamic_rotate is 32-bit-only — see _roll_lanes) and the
+        # f32-select A build (matmul: sub-32-bit selects hit an i1
+        # relayout Mosaic cannot do). Values follow the same factored
+        # arithmetic as the XLA path, so the tolerance is the bf16
+        # analog of the f32 ulp contract.
         img = rng.normal(size=(2, 16, 24, 3)).astype(np.float32)
         flow = rng.uniform(-5, 5, (2, 16, 24, 2)).astype(np.float32)
-        img16 = jnp.asarray(img, jnp.bfloat16)
-        fl = jnp.asarray(flow)
-        want = np.asarray(resample2d(img16, fl), np.float32)
-        from flowtrack_tpu.ops.warp import resample2d_pallas
-        got = np.asarray(resample2d_pallas(img16, fl, interpret=True),
-                         np.float32)
+        img16 = np.asarray(jnp.asarray(img, jnp.bfloat16))
+        want = np.asarray(resample2d(jnp.asarray(img16), jnp.asarray(flow)),
+                          np.float32)
+        got = self._pallas(img16, flow, impl).astype(np.float32)
         tol = 2 * 2.0 ** -8 * np.abs(img).max()  # 2 bf16 ulps
         np.testing.assert_allclose(got, want, rtol=0, atol=tol)
 
-    def test_bitwise_at_integer_flows(self, rng):
+    def test_bitwise_at_integer_flows(self, rng, impl):
         img = rng.normal(size=(1, 16, 24, 3)).astype(np.float32)
         flow = rng.integers(-6, 7, (1, 16, 24, 2)).astype(np.float32)
         want = np.asarray(resample2d(jnp.asarray(img), jnp.asarray(flow)))
-        np.testing.assert_array_equal(self._pallas(img, flow), want)
+        np.testing.assert_array_equal(self._pallas(img, flow, impl), want)
 
     def test_entry_flag_and_degenerate_fallback(self, rng):
         # use_pallas=True routes through the kernel; degenerate fields
@@ -260,7 +268,7 @@ class TestResample2dPallas:
         assert not _pallas_warp_supported(
             np.zeros((1, 2048, 2048, 3), np.float32))
 
-    def test_gradients_match_xla_path(self, rng):
+    def test_gradients_match_xla_path(self, rng, impl):
         # the custom VJP must route gradients (XLA formulation) through
         # the use_pallas entry; checked against the plain path AND a
         # finite difference
@@ -272,7 +280,8 @@ class TestResample2dPallas:
 
         gi_w, gf_w = jax.grad(loss(resample2d), (0, 1))(img, flow)
         gi_g, gf_g = jax.grad(loss(
-            lambda a, b: resample2d(a, b, use_pallas=True, interpret=True)),
+            lambda a, b: resample2d(a, b, use_pallas=True, interpret=True,
+                                    matmul=impl == "matmul")),
             (0, 1))(img, flow)
         np.testing.assert_allclose(np.asarray(gi_g), np.asarray(gi_w),
                                    rtol=1e-6, atol=1e-6)
