@@ -359,6 +359,12 @@ def run_clip_bench(cfg_name=None, flow_variant=None):
             is_oom = ("resource_exhausted" in msg or "out of memory" in msg
                       or "exceeds the limit" in msg
                       or "allocating" in msg and "hbm" in msg)
+            # always surface the head of the real error: a silently
+            # swallowed or mis-classified exception cost a day of queue
+            # time twice (Pallas-as-OOM; c8_f52's lost error)
+            head = str(e)
+            print(f"bench: clip program failed (oom={is_oom}, C={n_clips}):"
+                  f" {head[:500]}", file=sys.stderr)
             if n_clips > 1 and is_oom:
                 print(f"bench: {n_clips}-clip program exceeded HBM; "
                       f"retrying with {n_clips // 2}", file=sys.stderr)
