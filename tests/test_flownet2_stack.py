@@ -72,11 +72,15 @@ def test_flownet2_fp32_glue_is_default_and_bitwise():
 
 
 @pytest.mark.slow
-def test_flownet2_pallas_warp_matches_xla_warp(rng):
+@pytest.mark.parametrize("matmul", [False, True])
+def test_flownet2_pallas_warp_matches_xla_warp(rng, matmul):
     """The cascade with use_pallas_warp=True (interpret mode on CPU) must
-    match the XLA-warp cascade: the warp kernel is value-exact to ~1 ulp
-    (see tests/test_correlation_warp.py::TestResample2dPallas), so the
-    full four-warp cascade stays within conv-amplified float noise."""
+    match the XLA-warp cascade, for BOTH kernels (shift-accumulate and
+    matmul): each is value-exact to a few ulp
+    (tests/test_correlation_warp.py::TestResample2dPallas), so the full
+    four-warp cascade stays within conv-amplified float noise. Also pins
+    that the config flags actually reach the kernels through the module
+    plumbing."""
     from jax.experimental.pallas import tpu as pltpu
 
     x = jnp.asarray(rng.normal(0, 0.3, (1, 64, 64, 6)), jnp.float32)
@@ -85,7 +89,8 @@ def test_flownet2_pallas_warp_matches_xla_warp(rng):
         jax.random.PRNGKey(0), x, train=False)
     want = np.asarray(jax.jit(
         lambda v, x: ref.apply(v, x, train=False))(variables, x))
-    kern = FlowNet2(dtype=jnp.float32, use_pallas_warp=True)
+    kern = FlowNet2(dtype=jnp.float32, use_pallas_warp=True,
+                    warp_matmul=matmul)
     with pltpu.force_tpu_interpret_mode():
         got = np.asarray(jax.jit(
             lambda v, x: kern.apply(v, x, train=False))(variables, x))
