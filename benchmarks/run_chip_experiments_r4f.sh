@@ -32,6 +32,14 @@ run b4_384_glue_warp_mm env BENCH_CFG=coco_res152_384x288 BENCH_FLOW=flownet2 \
 run b4p_c2_glue_warp_mm $B4P BENCH_CLIPS=2 BENCH_GLUE_DTYPE=bfloat16 \
   BENCH_PALLAS_WARP=mm timeout 3600 python bench.py
 
+# b4 stream scaling at 256x192 (2 streams measured 106.47 with bf16
+# glue after the correlation vmap fix): does fp32 reference glue also
+# fit 2 streams, and do 4 bf16-glue streams fit / win?
+run b4p_c2_fp32 env BENCH_CFG=flowtrack_posetrack BENCH_FLOW=flownet2 \
+  BENCH_CLIPS=2 timeout 3600 python bench.py
+run b4p_c4_glue env BENCH_CFG=flowtrack_posetrack BENCH_FLOW=flownet2 \
+  BENCH_CLIPS=4 BENCH_GLUE_DTYPE=bfloat16 timeout 3600 python bench.py
+
 # continue the equal-HBM-budget stream-batching curve (c12_f32 = 478.67,
 # the current best full-semantics point; target raw >= 479.5)
 run c16_f24 env BENCH_CLIPS=16 BENCH_FRAMES=24 timeout 2400 python bench.py
