@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import contextlib
 import json
+import os
 import time
 from collections import defaultdict
 from typing import Dict, Optional
@@ -34,6 +35,27 @@ def trace(logdir: str):
 
 def annotate(name: str):
     return jax.profiler.TraceAnnotation(name)
+
+
+def default_compile_cache_dir():
+    """Shared ``--compile-cache`` default for every entry point.
+
+    ``FLOWTRACK_COMPILE_CACHE`` wins when set (empty string = disabled);
+    otherwise a repo-local ``.xla_compile_cache`` when running from a
+    source checkout (same default ``bench.py`` uses — ADVICE round-3:
+    the env var must behave uniformly across entry points), else None
+    (disabled) for site-packages installs where the package dir may not
+    be writable.
+    """
+    env = os.environ.get("FLOWTRACK_COMPILE_CACHE")
+    if env is not None:
+        return env or None
+    root = os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    if os.path.isdir(os.path.join(root, ".git")) or os.path.isfile(
+            os.path.join(root, "pyproject.toml")):
+        return os.path.join(root, ".xla_compile_cache")
+    return None
 
 
 def enable_compilation_cache(cache_dir: str,

@@ -65,6 +65,22 @@ def test_mpii_preset_and_yaml_agree():
     assert ycfg.data.dataset == "mpii"
 
 
+def test_default_compile_cache_dir(monkeypatch):
+    """Uniform FLOWTRACK_COMPILE_CACHE semantics across every entry point
+    (ADVICE round-3): env var wins, empty string disables, unset falls back
+    to the repo-local .xla_compile_cache in a source checkout."""
+    from flowtrack_tpu.utils import profiling
+
+    monkeypatch.setenv("FLOWTRACK_COMPILE_CACHE", "/some/dir")
+    assert profiling.default_compile_cache_dir() == "/some/dir"
+    monkeypatch.setenv("FLOWTRACK_COMPILE_CACHE", "")
+    assert profiling.default_compile_cache_dir() is None
+    monkeypatch.delenv("FLOWTRACK_COMPILE_CACHE")
+    d = profiling.default_compile_cache_dir()
+    # source checkout (this repo has .git + pyproject.toml)
+    assert d is not None and d.endswith(".xla_compile_cache")
+
+
 def test_enable_compilation_cache(tmp_path):
     """The cache helper must actually persist compiled executables (the
     --compile-cache CLI path): after a jit, the dir holds cache entries."""

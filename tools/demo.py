@@ -19,6 +19,7 @@ from flowtrack_tpu.data.pose_dataset import load_image
 from flowtrack_tpu.engine.checkpoint import load_npz_variables
 from flowtrack_tpu.pipeline import PosePredictor
 from flowtrack_tpu.utils.vis import draw_skeleton, save_image
+from flowtrack_tpu.utils.profiling import default_compile_cache_dir
 
 
 def main():
@@ -31,7 +32,7 @@ def main():
     ap.add_argument("--out", default="demo_out.png")
     ap.add_argument("opts", nargs="*")
     ap.add_argument("--compile-cache",
-                    default=os.environ.get("FLOWTRACK_COMPILE_CACHE"),
+                    default=default_compile_cache_dir(),
                     help="persistent XLA compilation cache dir "
                          "(amortizes multi-minute first compiles "
                          "across CLI restarts)")

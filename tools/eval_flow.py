@@ -25,6 +25,7 @@ from flowtrack_tpu.engine.checkpoint import load_npz_variables
 from flowtrack_tpu.eval.flow_eval import (evaluate_flow_pairs, read_flo,
                                           write_flo)
 from flowtrack_tpu.pipeline import FlowPredictor
+from flowtrack_tpu.utils.profiling import default_compile_cache_dir
 
 
 def main():
@@ -43,7 +44,7 @@ def main():
                          "color-wheel .png renders")
     ap.add_argument("opts", nargs="*")
     ap.add_argument("--compile-cache",
-                    default=os.environ.get("FLOWTRACK_COMPILE_CACHE"),
+                    default=default_compile_cache_dir(),
                     help="persistent XLA compilation cache dir "
                          "(amortizes multi-minute first compiles "
                          "across CLI restarts)")

@@ -29,6 +29,7 @@ from flowtrack_tpu.models.pose_resnet import get_pose_net
 from flowtrack_tpu.ops.decode import get_final_preds, rescore
 from flowtrack_tpu.parallel import batch_sharding, make_mesh
 from flowtrack_tpu.utils.logging import setup_logging
+from flowtrack_tpu.utils.profiling import default_compile_cache_dir
 
 log = logging.getLogger("flowtrack.test")
 
@@ -133,7 +134,7 @@ def main():
                          "predicted skeletons + heatmap grids)")
     ap.add_argument("opts", nargs="*")
     ap.add_argument("--compile-cache",
-                    default=os.environ.get("FLOWTRACK_COMPILE_CACHE"),
+                    default=default_compile_cache_dir(),
                     help="persistent XLA compilation cache dir "
                          "(amortizes multi-minute first compiles "
                          "across CLI restarts)")

@@ -27,6 +27,7 @@ from flowtrack_tpu.pipeline import FlowPredictor, PosePredictor
 from flowtrack_tpu.tracking import FlowTracker
 from flowtrack_tpu.tracking.tracker import tracks_to_posetrack_json
 from flowtrack_tpu.utils.logging import setup_logging
+from flowtrack_tpu.utils.profiling import default_compile_cache_dir
 
 log = logging.getLogger("flowtrack.track")
 
@@ -166,7 +167,7 @@ def main():
                          "(differentially tested; see posetrack_eval)")
     ap.add_argument("opts", nargs="*")
     ap.add_argument("--compile-cache",
-                    default=os.environ.get("FLOWTRACK_COMPILE_CACHE"),
+                    default=default_compile_cache_dir(),
                     help="persistent XLA compilation cache dir "
                          "(amortizes multi-minute first compiles "
                          "across CLI restarts)")

@@ -32,6 +32,7 @@ from flowtrack_tpu.utils.video import (
     track_video_clips,
 )
 from flowtrack_tpu.utils.vis import draw_skeleton, save_image
+from flowtrack_tpu.utils.profiling import default_compile_cache_dir
 
 log = logging.getLogger("flowtrack.track_video")
 
@@ -108,7 +109,7 @@ def main():
     ap.add_argument("--render", action="store_true")
     ap.add_argument("opts", nargs="*")
     ap.add_argument("--compile-cache",
-                    default=os.environ.get("FLOWTRACK_COMPILE_CACHE"),
+                    default=default_compile_cache_dir(),
                     help="persistent XLA compilation cache dir "
                          "(amortizes multi-minute first compiles "
                          "across CLI restarts)")

@@ -31,6 +31,7 @@ from flowtrack_tpu.models.pose_resnet import get_pose_net
 from flowtrack_tpu.parallel import batch_sharding, make_mesh, replicated
 from flowtrack_tpu.utils.logging import MetricsWriter, setup_logging
 from tools.test import build_val_dataset, run_validation
+from flowtrack_tpu.utils.profiling import default_compile_cache_dir
 
 log = logging.getLogger("flowtrack.train")
 
@@ -99,7 +100,7 @@ def main():
                          "(the reference logs TB scalars; SURVEY.md 6.5)")
     ap.add_argument("opts", nargs="*", help="dotted overrides k=v")
     ap.add_argument("--compile-cache",
-                    default=os.environ.get("FLOWTRACK_COMPILE_CACHE"),
+                    default=default_compile_cache_dir(),
                     help="persistent XLA compilation cache dir "
                          "(amortizes multi-minute first compiles "
                          "across CLI restarts)")

@@ -37,6 +37,7 @@ from flowtrack_tpu.engine.train import create_train_state
 from flowtrack_tpu.models.flownet import get_flow_net, preprocess_pair
 from flowtrack_tpu.parallel import batch_sharding, make_mesh, replicated
 from flowtrack_tpu.utils.logging import MetricsWriter, setup_logging
+from flowtrack_tpu.utils.profiling import default_compile_cache_dir
 
 log = logging.getLogger("flowtrack.train_flow")
 
@@ -73,7 +74,7 @@ def main():
                     help="also mirror scalars to a TensorBoard event dir")
     ap.add_argument("opts", nargs="*", help="dotted overrides k=v")
     ap.add_argument("--compile-cache",
-                    default=os.environ.get("FLOWTRACK_COMPILE_CACHE"),
+                    default=default_compile_cache_dir(),
                     help="persistent XLA compilation cache dir "
                          "(amortizes multi-minute first compiles "
                          "across CLI restarts)")
