@@ -26,7 +26,11 @@ import numpy as np
 
 # 64-frame clips amortize the ~7ms fixed per-clip cost (measured sweep:
 # 16->375, 32->407, 64->429 f/s); production video clips are this long.
-FRAMES = int(os.environ.get("BENCH_FRAMES", "64"))
+# 0 = per-workload default (run_clip_bench picks 48 for the headline
+# pose+FlowNetS path, 64 for FlowNet2-cascade configs — the r4 equal-HBM
+# geometry sweep, STATUS.md round-4 item 8)
+_FRAMES_ENV = int(os.environ.get("BENCH_FRAMES", "0"))
+FRAMES = _FRAMES_ENV or 64  # legacy per-frame path (run_tpu_bench)
 PERSONS = int(os.environ.get("BENCH_PERSONS", "8"))
 # denominator protocol (VERDICT round-2 item 2a): >=32 frames, min-of-k
 ORACLE_FRAMES = int(os.environ.get("BENCH_ORACLE_FRAMES", "32"))
@@ -190,8 +194,13 @@ def build_clip_tracker(cfg_name=None, flow_variant=None):
         from flowtrack_tpu.models.flownet import get_flow_net
 
         # BENCH_PALLAS_WARP: 0 = XLA slice-gather, 1 = shift-accumulate
-        # kernel, mm/2 = matmul kernel (ops/warp.py)
-        wflag = os.environ.get("BENCH_PALLAS_WARP", "0")
+        # kernel, mm/2 = matmul kernel (ops/warp.py). Default mm: measured
+        # end-to-end on v5e-1 (2026-08-19) the matmul kernel lifts the
+        # full-FlowTrack b4 config 104.0 -> 130.9 f/s (25.7 -> 32.3% MFU)
+        # and 384x288 bf16-glue 45.2 -> 52.5; the shift kernel LOSES
+        # end-to-end (96.0) — its adaptive displacement ranges widen under
+        # real cascade flow statistics (STATUS.md round-4 item 6).
+        wflag = os.environ.get("BENCH_PALLAS_WARP", "mm")
         fcfg = replace(cfg.flow, variant=flow_variant,
                        use_pallas_corr=os.environ.get(
                            "BENCH_PALLAS_CORR", "1") == "1",
@@ -296,10 +305,25 @@ def run_clip_bench(cfg_name=None, flow_variant=None):
     tracker, h, w = build_clip_tracker(cfg_name, flow_variant)
     cfg = tracker.cfg
     rng = np.random.default_rng(0)
-    frames = rng.uniform(0, 255, (FRAMES, h, w, 3)).astype(np.float32)
+    # Per-workload clip geometry (BENCH_FRAMES/BENCH_CLIPS override).
+    # Equal-HBM sweep on v5e-1 (2026-08-19, STATUS.md round-4 item 8): the
+    # boundary sits at ~384 in-flight frames; at constant budget
+    # MORE/SHORTER clips win (the serial per-clip id/recovery scans
+    # shorten while the batched pose/flow work is budget-invariant) —
+    # C8xF48 = 481.9 f/s > C12xF32 = 480.7 > C6xF64 = 481.2 > C16xF24 =
+    # 459.4 (too short: fixed per-clip cost dominates). Cascade (FlowNet2)
+    # configs keep F=64, C=1: 2 fp32-glue streams EXCEED HBM (the OOM
+    # fallback would burn a wasted cascade compile every run); multiple
+    # streams fit only with bf16 glue (BENCH_GLUE_DTYPE=bfloat16,
+    # BENCH_CLIPS=3 -> 136.7 f/s with the mm warp kernel, the serving
+    # option; C=4 OOMs).
+    cascade = (flow_variant
+               or os.environ.get("BENCH_FLOW", "flownet_s")) != "flownet_s"
+    n_frames = _FRAMES_ENV or (64 if cascade else 48)
+    frames = rng.uniform(0, 255, (n_frames, h, w, 3)).astype(np.float32)
     boxes = [[[20 + 15 * p, 30 + 10 * p, 60, 90] for p in range(PERSONS)]
-             for _ in range(FRAMES)]
-    scores = [[0.9] * PERSONS for _ in range(FRAMES)]
+             for _ in range(n_frames)]
+    scores = [[0.9] * PERSONS for _ in range(n_frames)]
     db, dsc, dv = pad_detections(boxes, scores, PERSONS)
 
     # Steady-state device throughput: the clip is prepared (H2D) outside
@@ -309,10 +333,10 @@ def run_clip_bench(cfg_name=None, flow_variant=None):
     # BENCH_CLIPS=C batches C independent streams' clips into ONE program
     # (the track_clips serving layout): the flow/pose batches scale with
     # C, lifting MFU on the batch-bound small-spatial layers
-    # (probe_flownet.py). Measured on v5e-1: C=1/2/4/6 -> 424/439/460/470
-    # f/s; C=8 exceeds HBM (19.5G/15.75G) — on OOM we halve C and retry,
-    # so the default 6 degrades gracefully on smaller-memory chips.
-    n_clips = int(os.environ.get("BENCH_CLIPS", "6"))
+    # (probe_flownet.py). On OOM we halve C and retry, so the default
+    # degrades gracefully on smaller-memory chips.
+    n_clips = int(os.environ.get("BENCH_CLIPS", "0")) \
+        or (1 if cascade else 8)
     while True:
         try:
             if n_clips > 1:
@@ -329,26 +353,27 @@ def run_clip_bench(cfg_name=None, flow_variant=None):
                 out = run()  # compile
                 jax.block_until_ready(out)
                 # BENCH_REPS amortizes per-rep relay dispatch/readback
-                # (steady-state serving runs an unbroken clip stream)
-                reps = int(os.environ.get("BENCH_REPS", "3"))
+                # (steady-state serving runs an unbroken clip stream);
+                # reps=8 vs 3 is worth ~+1% measured (r4 sweep)
+                reps = int(os.environ.get("BENCH_REPS", "8"))
                 t0 = time.perf_counter()
                 for _ in range(reps):
                     out = run()
                 jax.block_until_ready(out)
                 dt = (time.perf_counter() - t0) / reps / n_clips
-                assert out[3].shape == (n_clips, FRAMES,
+                assert out[3].shape == (n_clips, n_frames,
                                         tracker.num_slots)
             else:
                 args = tracker.prepare(frames, db, dsc, dv)
                 out = tracker.run_prepared(args)  # compile
                 jax.block_until_ready(out)
-                reps = int(os.environ.get("BENCH_REPS", "3"))
+                reps = int(os.environ.get("BENCH_REPS", "8"))
                 t0 = time.perf_counter()
                 for _ in range(reps):
                     out = tracker.run_prepared(args)
                 jax.block_until_ready(out)
                 dt = (time.perf_counter() - t0) / reps
-                assert out[3].shape == (FRAMES, tracker.num_slots)
+                assert out[3].shape == (n_frames, tracker.num_slots)
             break
         except Exception as e:  # noqa: BLE001 — OOM fallback only
             # match real allocator exhaustion only: a bare 'memory'
@@ -407,14 +432,15 @@ def run_clip_bench(cfg_name=None, flow_variant=None):
         flops = program_flops(tracker._clip_fn, tracker.pose_vars,
                               tracker.flow_vars, *args,
                               *tracker.empty_seed())
+    extras["frames_per_clip"] = n_frames
     if flops > 0:
-        gflops_frame = flops / FRAMES / 1e9
+        gflops_frame = flops / n_frames / 1e9
         extras["gflops_per_frame"] = round(gflops_frame, 1)
-        extras["tflops_per_sec"] = round(gflops_frame * FRAMES / dt / 1e3,
+        extras["tflops_per_sec"] = round(gflops_frame * n_frames / dt / 1e3,
                                          1)
         extras["mfu_pct_of_197T_bf16"] = round(
             100.0 * flops / dt / BF16_PEAK, 1)
-    return FRAMES / dt, extras
+    return n_frames / dt, extras
 
 
 def program_flops(jitted, *args):
@@ -602,7 +628,8 @@ def run_matrix():
             "metric": "pose+flow_tracking_frames_per_sec_per_chip",
             "value": round(fps, 2),
             "unit": f"frames/s ({PERSONS} persons, flip-test, "
-                    f"{FRAMES}-frame clips, detector-miss recovery)",
+                    f"{extras.get('frames_per_clip', FRAMES)}-frame clips,"
+                    f" detector-miss recovery)",
             "platform": platform,
             **extras,
         }
@@ -945,15 +972,13 @@ def enable_compile_cache() -> None:
     the CLIs expose via --compile-cache); opt out with
     ``FLOWTRACK_COMPILE_CACHE=""`` or point it elsewhere via the env var.
     """
-    cache_dir = os.environ.get(
-        "FLOWTRACK_COMPILE_CACHE",
-        os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                     ".xla_compile_cache"))
-    if not cache_dir:
-        return
     try:
-        from flowtrack_tpu.utils.profiling import enable_compilation_cache
+        from flowtrack_tpu.utils.profiling import (
+            default_compile_cache_dir, enable_compilation_cache)
 
+        cache_dir = default_compile_cache_dir()
+        if not cache_dir:
+            return
         enable_compilation_cache(cache_dir)
     except Exception as e:  # noqa: BLE001 — cache is an optimization only
         print(f"bench: compilation cache unavailable ({e})", file=sys.stderr)
@@ -1047,7 +1072,8 @@ def main():
         "metric": "pose+flow_tracking_frames_per_sec_per_chip",
         "value": round(fps, 2),
         "unit": f"frames/s ({ih}x{iw}, {PERSONS} persons, {flip}, "
-                f"{FRAMES}-frame clips, {streams}{BENCH_CFG})",
+                f"{extras.get('frames_per_clip', FRAMES)}-frame clips, "
+                f"{streams}{BENCH_CFG})",
         "vs_baseline": round(fps / oracle["fps"], 2) if oracle else None,
         "platform": platform,
         "oracle_fps_torch_cpu": round(oracle["fps"], 3) if oracle else None,
