@@ -1054,10 +1054,19 @@ def main():
                 os.remove(cache)
             except OSError:
                 pass
-        if oracle is None:
+        if oracle is None or os.environ.get("BENCH_REFRESH_ORACLE") == "1":
             try:
-                oracle = run_oracle_bench(bench_model.num_layers, ih, iw,
-                                          oracle_flip)
+                fresh = run_oracle_bench(bench_model.num_layers, ih, iw,
+                                         oracle_flip)
+                # Keep the FASTEST oracle seen for this protocol: host
+                # contention only ever slows the torch-CPU reference, so a
+                # contended measurement understates the denominator and
+                # inflates vs_baseline in our favor (r4g queue measured
+                # 0.084 f/s for a protocol that idles at ~0.32).
+                # max-over-runs of min-of-k is the conservative-against-us
+                # denominator; the per-run reps/spread stay recorded.
+                if oracle is None or fresh["fps"] > oracle["fps"]:
+                    oracle = fresh
                 slots[protocol] = oracle
                 json.dump(slots, open(cache, "w"))
             except Exception as e:  # noqa: BLE001 — must not kill bench
