@@ -9,11 +9,18 @@ any isolation artifacts.
 Usage (on the real chip):
 
     BENCH_CFG=flowtrack_posetrack BENCH_FLOW=flownet2 \
-    BENCH_GLUE_DTYPE=bfloat16 python benchmarks/probe_trace.py
+    python benchmarks/probe_trace.py
 
-Prints the top-N device ops by total self time, grouped into pipeline
-stages by HLO op-name heuristics (pose convs vs flow convs vs correlation
-vs warp kernels vs scans), plus each group's share of device time.
+Prints device-op time grouped by HLO category, by repo source line (from
+XLA's op metadata; flax-internal frames are re-attributed to the first
+repo frame in the source stack), and the top individual ops.
+
+Measured r4 finding recorded here (2026-08-19, b4 R152+FlowNet2 C=1
+fp32-glue, 64-frame clip, 488 ms/clip device time): convolution fusions
+44.9%, the FOUR cascade warp custom-calls 35.2% (ops/warp.py mm kernel,
+~56 ms per 63-image warp), BatchNorm glue 6.4%, flip-merge 2.4%, id scan
+~3%, correlation kernel 1.4% — the warp kernel was the #2 consumer and
+the optimization target (see _warp_kernel_mm's packed-dy design).
 """
 
 from __future__ import annotations
@@ -60,76 +67,47 @@ def build_and_run(trace_dir: str, reps: int = 3):
 
 
 def load_trace_events(trace_dir: str):
-    """Parse the trace into [(name, dur_us)] device-op events.
-
-    Prefers the trace_viewer JSON conversion from the xplane proto
-    (tensorboard-plugin-profile); falls back to any trace.json.gz the
-    profiler wrote directly.
-    """
-    xplanes = glob.glob(os.path.join(trace_dir, "**", "*.xplane.pb"),
-                        recursive=True)
-    if xplanes:
-        try:
-            from tensorboard_plugin_profile.convert import raw_to_tool_data
-            data, _ = raw_to_tool_data.xspace_to_tool_data(
-                xplanes, "trace_viewer", {})
-            trace = json.loads(data)
-            return _events_from_trace_json(trace)
-        except Exception as e:  # noqa: BLE001 — try the json fallback
-            print(f"xplane conversion failed ({e}); trying trace.json.gz",
-                  file=sys.stderr)
+    """Parse the profiler's trace.json.gz into device-op event dicts
+    (name, dur_us, hlo_category, source) — XLA Ops track only (the XLA
+    Modules track holds one whole-program event per dispatch and would
+    double-count)."""
     jsons = glob.glob(os.path.join(trace_dir, "**", "*.trace.json.gz"),
                       recursive=True)
     if not jsons:
-        raise RuntimeError(f"no parsable trace under {trace_dir}")
-    with gzip.open(jsons[0], "rt") as f:
-        return _events_from_trace_json(json.load(f))
-
-
-def _events_from_trace_json(trace):
-    # keep only complete events on device (TPU/XLA Ops) tracks
-    pid_names = {}
-    tid_names = {}
-    for ev in trace.get("traceEvents", []):
-        if ev.get("ph") == "M" and ev.get("name") == "process_name":
-            pid_names[ev["pid"]] = ev["args"].get("name", "")
-        if ev.get("ph") == "M" and ev.get("name") == "thread_name":
-            tid_names[(ev["pid"], ev["tid"])] = ev["args"].get("name", "")
-    events = []
-    for ev in trace.get("traceEvents", []):
-        if ev.get("ph") != "X" or "dur" not in ev:
+        raise RuntimeError(f"no trace.json.gz under {trace_dir}")
+    with gzip.open(sorted(jsons)[-1], "rt") as f:
+        trace = json.load(f)
+    evs = trace.get("traceEvents", [])
+    # device pid = process named /device:...; ops thread named 'XLA Ops'
+    dev_pids = {e["pid"] for e in evs
+                if e.get("ph") == "M" and e.get("name") == "process_name"
+                and "/device:" in e["args"].get("name", "")}
+    op_tids = {(e["pid"], e["tid"]) for e in evs
+               if e.get("ph") == "M" and e.get("name") == "thread_name"
+               and e["args"].get("name") == "XLA Ops"}
+    out = []
+    for ev in evs:
+        if (ev.get("ph") != "X" or ev.get("pid") not in dev_pids
+                or (ev["pid"], ev.get("tid")) not in op_tids):
             continue
-        proc = pid_names.get(ev.get("pid"), "")
-        thread = tid_names.get((ev.get("pid"), ev.get("tid")), "")
-        label = f"{proc}/{thread}"
-        if ("TPU" in proc or "/device" in proc.lower()
-                or "XLA Ops" in thread or "xla" in thread.lower()
-                or "Steps" in thread):
-            events.append((ev.get("name", "?"), float(ev["dur"]), label))
-    return events
+        args = ev.get("args", {})
+        out.append({
+            "name": ev.get("name", "?"),
+            "dur": float(ev.get("dur", 0.0)),
+            "cat": args.get("hlo_category", "?"),
+            "source": _repo_source(args),
+        })
+    return out
 
 
-STAGE_PATTERNS = [
-    # (stage label, substrings matched against the lowercased HLO op name)
-    ("correlation(pallas)", ("corr",)),
-    ("warp(pallas-mm)", ("warp",)),
-    ("convolution", ("conv", "%convolution")),
-    ("scan(id/recovery)", ("while", "scan", "dynamic-update")),
-    ("top_k/sort", ("sort", "top-k", "topk")),
-    ("copy/transpose", ("copy", "transpose", "bitcast", "reshape")),
-    ("all-reduce/coll", ("all-reduce", "collective", "fusion.allreduce")),
-]
-
-
-def classify(name: str) -> str:
-    low = name.lower()
-    for label, pats in STAGE_PATTERNS:
-        for p in pats:
-            if p in low:
-                return label
-    if "fusion" in low:
-        return "fusion(elementwise/other)"
-    return "other"
+def _repo_source(args) -> str:
+    """Prefer the first repo frame of the source stack (flax/jax internal
+    lines aggregate everything; the repo frame says WHOSE conv it is)."""
+    stack = args.get("source_stack", "")
+    for line in stack.split("\n"):
+        if "/flowtrack_tpu/" in line or "/tests/" in line:
+            return line.rsplit(":", 1)[0]
+    return args.get("source", "?")
 
 
 def main():
@@ -141,23 +119,28 @@ def main():
               file=sys.stderr)
     events = load_trace_events(trace_dir)
     if not events:
-        raise SystemExit("trace parsed but no device events found")
+        raise SystemExit("trace parsed but no device op events found")
 
+    by_cat = defaultdict(float)
+    by_src = defaultdict(float)
     by_op = defaultdict(float)
-    by_stage = defaultdict(float)
-    tracks = defaultdict(float)
-    for name, dur, label in events:
-        by_op[name] += dur
-        by_stage[classify(name)] += dur
-        tracks[label] += dur
-    total = sum(by_op.values())
-    print(json.dumps({"tracks_us": {k: round(v, 1)
-                                    for k, v in sorted(tracks.items())}}))
-    print("\n-- stage shares (device op self time) --")
-    for stage, us in sorted(by_stage.items(), key=lambda kv: -kv[1]):
-        print(f"{stage:28s} {us/1e3:10.2f} ms  {100*us/total:5.1f}%")
-    print("\n-- top 40 ops --")
-    for name, us in sorted(by_op.items(), key=lambda kv: -kv[1])[:40]:
+    total = 0.0
+    for ev in events:
+        by_cat[ev["cat"]] += ev["dur"]
+        by_src[ev["source"]] += ev["dur"]
+        by_op[ev["name"]] += ev["dur"]
+        total += ev["dur"]
+    print(json.dumps({"device_op_ms_total": round(total / 1e3, 1),
+                      "events": len(events), "reps": reps}))
+    print("\n-- by HLO category --")
+    for k, v in sorted(by_cat.items(), key=lambda kv: -kv[1]):
+        if v / total > 0.001:
+            print(f"{v/1e3:9.2f} ms  {100*v/total:5.1f}%  {k}")
+    print("\n-- by repo source line (top 30) --")
+    for k, v in sorted(by_src.items(), key=lambda kv: -kv[1])[:30]:
+        print(f"{v/1e3:9.2f} ms  {100*v/total:5.1f}%  {k}")
+    print("\n-- top 25 ops --")
+    for name, us in sorted(by_op.items(), key=lambda kv: -kv[1])[:25]:
         print(f"{us/1e3:9.2f} ms  {100*us/total:5.1f}%  {name[:110]}")
 
 

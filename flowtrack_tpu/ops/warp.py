@@ -152,9 +152,10 @@ def _pallas_warp_supported(img) -> bool:
         return False  # degenerate fields: XLA path has the exact semantics
     hb = -(-h // _WARP_BLOCK_H) * _WARP_BLOCK_H
     # physical VMEM of the resident image block: sublanes pad C to 8,
-    # lanes pad W to 128
-    phys = (hb + 2 * _WARP_BLOCK_H) * max(c, 8) * (-(-w // 128) * 128) \
-        * jnp.dtype(img.dtype).itemsize
+    # lanes pad W to 128 (row count is the mm kernel's, the larger of the
+    # two variants)
+    phys = (hb + 2 * _WARP_BLOCK_H + _WARP_MM_CHUNK) * max(c, 8) \
+        * (-(-w // 128) * 128) * jnp.dtype(img.dtype).itemsize
     return phys <= _PALLAS_WARP_VMEM_CAP
 
 
@@ -283,6 +284,9 @@ def resample2d_pallas(img, flow, interpret: bool = False):
     return jnp.transpose(out[:, :h, :, :w], (0, 1, 3, 2))
 
 
+_WARP_MM_CHUNK = 16  # dy rows contracted per packed matmul (see below)
+
+
 def _warp_kernel_mm(img_ref, flow_ref, out_ref, *, block_h, h, w, wp, c):
     """Matmul variant: the x-interpolation as an MXU contraction.
 
@@ -292,21 +296,30 @@ def _warp_kernel_mm(img_ref, flow_ref, out_ref, *, block_h, h, w, wp, c):
     only). This variant eliminates it: per output row b, bilinear
     x-interpolation is a linear map, i.e. one (WP_in, WP_out) matrix
     A[b] with exactly two nonzeros per column — A[b, i, j] =
-    (i == x0[b,j])·(1−wx[b,j]) + (i == x0[b,j]+1)·wx[b,j] — so
+    (i == x0[b,j])·(1−wx[b,j]) + (i == x0[b,j]+1)·wx[b,j] — built once
+    per block. Weight VALUES are dt-rounded (mirroring the XLA path's
+    products); contraction in f32 at HIGHEST precision.
 
-        out[b, :, j] = Σ_i rows_dy[b, :, i] · A[b, i, j]
-
-    is a (C, WP) × (WP, WP) matmul per row, on the MXU, covering every
-    x-displacement at once. A is dy-independent: built once per block,
-    reused by each pass of the (still range-adaptive) dy loop. Weights
-    are computed in the data dtype (mirroring the XLA path's products),
-    contracted in f32 at HIGHEST precision.
+    PACKED-dy formulation (v2 — the r4 profiler trace showed v1's dy
+    loop redoing the full x-contraction per displacement was 35% of the
+    whole b4 device program, ~56 ms per 63-image warp): each output row
+    only ever uses TWO dy taps, so contracting all block rows for every
+    dy in the block's range multiplied the MXU work by ny/2 for nothing.
+    v2 packs a CHUNK of S=_WARP_MM_CHUNK consecutive dy candidate rows
+    (plus the block_h skew) into the matmul's M dimension — one
+    (S+bh)·C-row dot per output row per chunk covers S displacements at
+    once, because M ≤ 128 rides the systolic array in a single pass
+    either way. The y-tap weights then select/combine the (at most two)
+    relevant packed rows per output element on the VPU. MXU passes drop
+    ~S×; cost is adaptive in ceil(ny/S) chunks (smooth cascade flow:
+    usually 1-2).
     """
     hi = pl.program_id(1)
     base = hi * block_h
     dt = out_ref.dtype
     one = jnp.asarray(1.0, dt)
-    zero = jnp.asarray(0.0, dt)
+    s_chunk = _WARP_MM_CHUNK
+    rows_per_chunk = s_chunk + block_h  # chunk dys skewed by output row
 
     u = flow_ref[0, :, 0, :].astype(jnp.float32)
     v = flow_ref[0, :, 1, :].astype(jnp.float32)
@@ -326,6 +339,7 @@ def _warp_kernel_mm(img_ref, flow_ref, out_ref, *, block_h, h, w, wp, c):
     dy0r = jnp.where(valid, dy0, 0.0)
     dy_lo = jnp.min(dy0r).astype(jnp.int32)
     ny = jnp.max(dy0r).astype(jnp.int32) - dy_lo + 2
+    n_chunks = (ny + s_chunk - 1) // s_chunk
 
     # A[b, i, j]: weight of input lane i for output lane j of row b.
     # Selects run in f32: a sub-32-bit select here makes Mosaic relayout
@@ -340,21 +354,37 @@ def _warp_kernel_mm(img_ref, flow_ref, out_ref, *, block_h, h, w, wp, c):
              + jnp.where(win == x0i[:, None, :] + 1, wxf[:, None, :], 0.0)
              )                                      # (bh, wp_in, wp_out)
 
-    def dy_body(i, acc):
-        dyv = dy_lo + i
-        rows = img_ref[0, pl.ds(block_h + base + dyv, block_h)]
-        rows32 = rows.astype(jnp.float32)
-        dyf = dyv.astype(jnp.float32)
-        wyd = jnp.where(dy0 == dyf, one - wy,
-                        jnp.where(dy0 + 1.0 == dyf, wy, zero))
-        inner = jnp.stack([
-            jax.lax.dot(rows32[b], a_mat[b],
-                        precision=jax.lax.Precision.HIGHEST)
-            for b in range(block_h)])               # (bh, C, wp)
-        return acc + inner * wyd.astype(jnp.float32)[:, None, :]
+    wyf = wy.astype(jnp.float32)
+    omy = (one - wy).astype(jnp.float32)
+    # packed-row index l along the chunk slice (l-th slice row holds, for
+    # output row b, the tap at dy = chunk_lo + l - b)
+    l_idx = jax.lax.broadcasted_iota(jnp.int32, (rows_per_chunk, wp), 0)
+
+    def chunk_body(k, acc):
+        chunk_lo = dy_lo + k * s_chunk
+        # slice rows [base + chunk_lo, base + chunk_lo + S + bh): serves
+        # every (b, dy) pair of the chunk via slice-local index b+dy-lo
+        rows = img_ref[0, pl.ds(block_h + base + chunk_lo, rows_per_chunk)]
+        rp = rows.reshape(rows_per_chunk * c, wp).astype(jnp.float32)
+        contribs = []
+        for b in range(block_h):
+            m = jax.lax.dot(rp, a_mat[b],
+                            precision=jax.lax.Precision.HIGHEST)
+            m3 = m.reshape(rows_per_chunk, c, wp)
+            dy_val = (chunk_lo - b + l_idx).astype(jnp.float32)
+            # only this chunk's dy window [chunk_lo, chunk_lo + S): the
+            # slice also exposes the skew rows of neighboring chunks,
+            # which must not double-count
+            in_chunk = (l_idx >= b) & (l_idx < b + s_chunk)
+            wsel = (jnp.where(in_chunk & (dy0[b] == dy_val),
+                              omy[b][None, :], 0.0)
+                    + jnp.where(in_chunk & (dy0[b] + 1.0 == dy_val),
+                                wyf[b][None, :], 0.0))  # (S+bh, wp)
+            contribs.append(jnp.sum(m3 * wsel[:, None, :], axis=0))
+        return acc + jnp.stack(contribs)            # (bh, C, wp)
 
     acc = jax.lax.fori_loop(
-        0, ny, dy_body, jnp.zeros((block_h, c, wp), jnp.float32))
+        0, n_chunks, chunk_body, jnp.zeros((block_h, c, wp), jnp.float32))
     out_ref[0] = acc.astype(dt)
 
 
@@ -365,9 +395,13 @@ def resample2d_pallas_mm(img, flow, interpret: bool = False):
     bh = _WARP_BLOCK_H
     hb = -(-h // bh) * bh
     wp = -(-w // 128) * 128
+    # the last packed chunk's (S + bh)-row slice can start as late as
+    # dy_hi + 1 rounded up to a chunk boundary — pad S extra rows below
+    # so every chunk slice is in-bounds (padded rows meet zero weights)
+    pad_below = bh + _WARP_MM_CHUNK + hb - h
 
     imgp = jnp.pad(jnp.transpose(img, (0, 1, 3, 2)),
-                   ((0, 0), (bh, bh + hb - h), (0, 0), (0, wp - w)))
+                   ((0, 0), (bh, pad_below), (0, 0), (0, wp - w)))
     flowp = jnp.pad(jnp.transpose(flow, (0, 1, 3, 2)),
                     ((0, 0), (0, hb - h), (0, 0), (0, wp - w)))
 
@@ -377,7 +411,7 @@ def resample2d_pallas_mm(img, flow, interpret: bool = False):
         kernel,
         grid=(n, hb // bh),
         in_specs=[
-            pl.BlockSpec((1, hb + 2 * bh, c, wp),
+            pl.BlockSpec((1, hb + 2 * bh + _WARP_MM_CHUNK, c, wp),
                          lambda ni, hi: (ni, 0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, bh, 2, wp), lambda ni, hi: (ni, hi, 0, 0),
