@@ -360,6 +360,14 @@ def _warp_kernel_mm(img_ref, flow_ref, out_ref, *, block_h, h, w, wp, c):
     # output row b, the tap at dy = chunk_lo + l - b)
     l_idx = jax.lax.broadcasted_iota(jnp.int32, (rows_per_chunk, wp), 0)
 
+    # f32 data: HIGHEST (6-pass bf16 decomposition, products exact to f32
+    # rounding — the fp32-glue golden-parity contract). Sub-32-bit data:
+    # single-pass DEFAULT — the XLA reference path for bf16 images rounds
+    # every tap product to bf16 anyway, so a bf16xbf16->f32-accumulate
+    # contraction is at least as accurate while 6x cheaper on the MXU.
+    dot_prec = (jax.lax.Precision.HIGHEST
+                if jnp.dtype(dt).itemsize == 4 else None)
+
     def chunk_body(k, acc):
         chunk_lo = dy_lo + k * s_chunk
         # slice rows [base + chunk_lo, base + chunk_lo + S + bh): serves
@@ -368,8 +376,7 @@ def _warp_kernel_mm(img_ref, flow_ref, out_ref, *, block_h, h, w, wp, c):
         rp = rows.reshape(rows_per_chunk * c, wp).astype(jnp.float32)
         contribs = []
         for b in range(block_h):
-            m = jax.lax.dot(rp, a_mat[b],
-                            precision=jax.lax.Precision.HIGHEST)
+            m = jax.lax.dot(rp, a_mat[b], precision=dot_prec)
             m3 = m.reshape(rows_per_chunk, c, wp)
             dy_val = (chunk_lo - b + l_idx).astype(jnp.float32)
             # only this chunk's dy window [chunk_lo, chunk_lo + S): the
