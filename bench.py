@@ -195,11 +195,12 @@ def build_clip_tracker(cfg_name=None, flow_variant=None):
 
         # BENCH_PALLAS_WARP: 0 = XLA slice-gather, 1 = shift-accumulate
         # kernel, mm/2 = matmul kernel (ops/warp.py). Default mm: measured
-        # end-to-end on v5e-1 (2026-08-19) the matmul kernel lifts the
-        # full-FlowTrack b4 config 104.0 -> 130.9 f/s (25.7 -> 32.3% MFU)
-        # and 384x288 bf16-glue 45.2 -> 52.5; the shift kernel LOSES
-        # end-to-end (96.0) — its adaptive displacement ranges widen under
-        # real cascade flow statistics (STATUS.md round-4 item 6).
+        # end-to-end on v5e-1 (2026-08-19) the packed-dy matmul kernel
+        # lifts the full-FlowTrack b4 config 104.0 -> 165.6 f/s (25.7 ->
+        # 40.9% MFU; 181.7 at 3 bf16-glue streams); the shift kernel
+        # LOSES end-to-end (96.0) — its adaptive displacement ranges
+        # widen under real cascade flow statistics (STATUS.md round-4
+        # items 6 and 11).
         wflag = os.environ.get("BENCH_PALLAS_WARP", "mm")
         fcfg = replace(cfg.flow, variant=flow_variant,
                        use_pallas_corr=os.environ.get(
