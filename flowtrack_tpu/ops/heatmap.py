@@ -114,7 +114,12 @@ def flip_back(heatmaps, flip_pairs):
     perm = np.arange(k)
     for a, b in flip_pairs:
         perm[a], perm[b] = b, a
-    return hm[..., jnp.asarray(perm)]
+    # static per-channel slices + concat, NOT hm[..., perm]: a gather on
+    # the minor (lane) axis measured 7.4% of the whole headline clip
+    # program on v5e (device trace, STATUS round-4 item 11 follow-up);
+    # the static form fuses away. Bitwise-identical (pure permutation).
+    return jnp.concatenate([hm[..., int(p):int(p) + 1] for p in perm],
+                           axis=-1)
 
 
 def merge_flip_test(heatmaps, heatmaps_flipped, flip_pairs, shift=True):
