@@ -96,7 +96,13 @@ def greedy_match(sim, thr, row_valid=None, col_valid=None):
         return (s, assign), None
 
     init = (sim, jnp.full((n,), -1, jnp.int32))
-    (_, assign), _ = jax.lax.scan(step, init, None, length=min(m, n))
+    # fully unrolled: the scan is short (min(m, n) ~ 9-16 slots in the
+    # tracker paths) and runs INSIDE the per-frame id/recovery scans, so
+    # each iteration otherwise pays a while-loop round trip per frame
+    # per slot (device trace: the scans were 13% of the single-stream
+    # clip program)
+    (_, assign), _ = jax.lax.scan(step, init, None, length=min(m, n),
+                                  unroll=True)
     return assign
 
 
