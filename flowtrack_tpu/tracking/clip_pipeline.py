@@ -94,6 +94,14 @@ from flowtrack_tpu.tracking.tracker import (
     propagate_poses,
 )
 
+# Unroll factor for the two per-frame scans (recovery generation + id
+# chain). Their bodies are tiny relative to the batched pose/flow passes,
+# so the while-loop round trip per frame is measurable (device trace:
+# "while" was 13.2% of the headline clip program); a modest unroll lets
+# XLA pipeline consecutive frames. Env-overridable for on-chip A/B.
+import os as _os
+_SCAN_UNROLL = int(_os.environ.get("FLOWTRACK_SCAN_UNROLL", "4"))
+
 
 def _box_xyxy_to_center_scale(boxes, aspect_ratio: float,
                               scale_padding: float = 1.25):
@@ -270,7 +278,7 @@ class ClipTracker:
             _, (rec_box, rec_v, rec_s, rec_ages) = jax.lax.scan(
                 gen_step, carry0,
                 (preds[1:], valid[1:], scores[1:], det_boxes[1:], flows,
-                 frame_valid[1:]))
+                 frame_valid[1:]), unroll=_SCAN_UNROLL)
             rec_box = jnp.concatenate([rb0[None], rec_box])
             rec_v = jnp.concatenate([rv0[None], rec_v])
             rec_s = jnp.concatenate([rs0[None], rec_s])
@@ -415,7 +423,8 @@ class ClipTracker:
                 next_id0.astype(jnp.int32))
             carry0 = (preds[0], valid[0], jnp.maximum(ids0, 0), nid0)
             (_, _, _, nid_fin), ids_rest = jax.lax.scan(
-                step, carry0, (preds[1:], valid[1:], flows))
+                step, carry0, (preds[1:], valid[1:], flows),
+                unroll=_SCAN_UNROLL)
             all_ids = jnp.concatenate([ids0[None], ids_rest], axis=0)
             # final live-track state = next clip's seed (global ids); for a
             # padded (ragged/frame-sharded) clip the last REAL frame is
