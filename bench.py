@@ -444,6 +444,38 @@ def run_clip_bench(cfg_name=None, flow_variant=None):
     return n_frames / dt, extras
 
 
+def gpu_envelope(gflops_per_frame):
+    """Analytic reference-GPU fps envelope for this run's own flop count
+    (BASELINE.md "GPU envelope": the reference's fps was never published,
+    so bound it from measured flops/frame against published fp32 peaks x a
+    utilization envelope). Returns (lo_fps, hi_fps):
+      lo = GTX 1080 (8.9 TFLOP/s fp32) @ 30% utilization
+      hi = V100    (15.7 TFLOP/s fp32) @ 60% utilization
+    The >=10x north-star (BASELINE.json) is judged against HI — the
+    envelope's most conservative bound for us."""
+    fl = gflops_per_frame * 1e9
+    return 0.30 * 8.9e12 / fl, 0.60 * 15.7e12 / fl
+
+
+NORTH_STAR_X = 10.0  # BASELINE.json: >=10x reference GPU fps per chip
+
+
+def envelope_extras(fps, gflops_per_frame):
+    """The envelope + north-star fields of the headline JSON line, from
+    primary data only (this run's fps and XLA flop count). north_star_ok
+    is the REGRESSION GUARD: it must stay true at the default invocation —
+    any semantic addition that erodes the margin below 10.0x flips it to
+    false in the driver capture instead of surfacing at judging."""
+    lo, hi = gpu_envelope(gflops_per_frame)
+    return {
+        "gpu_envelope_fps": [round(lo, 1), round(hi, 1)],
+        "vs_gpu_envelope": [round(fps / hi, 1), round(fps / lo, 1)],
+        "north_star_ok": bool(fps / hi >= NORTH_STAR_X),
+        "north_star_margin_pct": round(100.0 * (fps / hi / NORTH_STAR_X
+                                                - 1.0), 1),
+    }
+
+
 def program_flops(jitted, *args):
     """XLA's own flop count for one application of a jitted fn, so every
     "% of peak" claim is recomputed from primary data per run. Failures
@@ -1092,16 +1124,10 @@ def main():
         "oracle_spread_pct": oracle["spread_pct"] if oracle else None,
         **extras,
     }
-    # analytic reference-GPU envelope (BASELINE.md "GPU envelope" section):
-    # the reference's fps was never published; bound it from THIS run's
-    # measured flops/frame against published fp32 peaks x a utilization
-    # envelope, so the north-star ratio has a number attached.
+    # analytic reference-GPU envelope + the north-star regression guard
+    # (gpu_envelope/envelope_extras; math pinned by tests/test_bench_flops)
     if extras.get("gflops_per_frame"):
-        fl = extras["gflops_per_frame"] * 1e9
-        lo = 0.30 * 8.9e12 / fl    # GTX 1080 (8.9 TFLOP/s fp32) @ 30% util
-        hi = 0.60 * 15.7e12 / fl   # V100 (15.7 TFLOP/s fp32) @ 60% util
-        out["gpu_envelope_fps"] = [round(lo, 1), round(hi, 1)]
-        out["vs_gpu_envelope"] = [round(fps / hi, 1), round(fps / lo, 1)]
+        out.update(envelope_extras(fps, extras["gflops_per_frame"]))
     print(json.dumps(out))
 
 

@@ -94,3 +94,30 @@ def test_unchunked_twin_reports_chunked_programs_true_flops():
         pose, {}, flow, {})
     f_twin = _flops_of(twin, args)
     assert f_twin == pytest.approx(f_plain, rel=0.01)
+
+
+def test_gpu_envelope_math_pinned():
+    """The north-star denominator (round-4 VERDICT item 7): the envelope
+    is pure arithmetic from the run's own flop count — pin it so a silent
+    edit to the peaks/utilizations can't move the >=10x goalpost."""
+    lo, hi = bench.gpu_envelope(196.5)  # headline GFLOPs/frame
+    assert lo == pytest.approx(0.30 * 8.9e12 / 196.5e9)   # GTX1080@30%
+    assert hi == pytest.approx(0.60 * 15.7e12 / 196.5e9)  # V100@60%
+    assert (lo, hi) == pytest.approx((13.588, 47.939), abs=5e-3)
+
+
+def test_north_star_guard_flips_at_10x():
+    """north_star_ok must be a hard >=10.0x test against the envelope's
+    conservative (hi) bound, with the margin stated — the regression
+    guard the driver capture carries every round."""
+    hi = bench.gpu_envelope(196.5)[1]
+    ok = bench.envelope_extras(10.05 * hi, 196.5)
+    bad = bench.envelope_extras(9.95 * hi, 196.5)
+    assert ok["north_star_ok"] is True
+    assert bad["north_star_ok"] is False
+    assert ok["north_star_margin_pct"] == pytest.approx(0.5, abs=0.1)
+    assert bad["north_star_margin_pct"] == pytest.approx(-0.5, abs=0.1)
+    # r4 driver capture: 488.6 f/s at 196.5 GF/frame — currently ~1.9%
+    r4 = bench.envelope_extras(488.6, 196.5)
+    assert r4["north_star_ok"] is True
+    assert r4["vs_gpu_envelope"] == [10.2, 36.0]
