@@ -43,6 +43,7 @@ def _cv2_reference_trans(center, scale, rot, output_size):
 
 
 @pytest.mark.parametrize("rot", [0.0, 15.0, -40.0])
+@pytest.mark.smoke
 def test_matrix_matches_cv2(rot):
     center = np.array([123.4, 77.2])
     scale = np.array([1.3, 1.9])

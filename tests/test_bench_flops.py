@@ -96,6 +96,7 @@ def test_unchunked_twin_reports_chunked_programs_true_flops():
     assert f_twin == pytest.approx(f_plain, rel=0.01)
 
 
+@pytest.mark.smoke
 def test_gpu_envelope_math_pinned():
     """The north-star denominator (round-4 VERDICT item 7): the envelope
     is pure arithmetic from the run's own flop count — pin it so a silent

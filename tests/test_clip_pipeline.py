@@ -73,6 +73,7 @@ def make_cfg():
                                  track_oks_thre=0.3))
 
 
+@pytest.mark.smoke
 def test_clip_ids_stable_and_new_id_minted():
     cfg = make_cfg()
     tracker = default_tracker()

@@ -7,6 +7,8 @@ detections, crowd-ignore, and area-range slicing.
 
 import numpy as np
 
+import pytest
+
 from flowtrack_tpu.eval.coco_eval import (
     COCOKeypointEval,
     MAX_DETS,
@@ -38,6 +40,7 @@ def dt_ann(image_id, kp, score):
     return {"image_id": image_id, "keypoints": kp, "score": score}
 
 
+@pytest.mark.smoke
 def test_perfect_predictions_ap1():
     gts, dts = [], []
     for img in range(3):

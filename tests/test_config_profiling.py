@@ -4,8 +4,10 @@ import numpy as np
 import jax.numpy as jnp
 
 from flowtrack_tpu.config import PRESETS, apply_overrides, get_config
+import pytest
 
 
+@pytest.mark.smoke
 def test_presets_cover_driver_configs():
     for name in ("coco_res50_256x192", "coco_res50_384x288",
                  "coco_res152_256x192", "coco_res152_384x288",

@@ -348,6 +348,7 @@ class TestResample2dPallas:
 
 
 class TestChannelNormGather:
+    @pytest.mark.smoke
     def test_channelnorm(self, rng):
         x = rng.normal(size=(2, 5, 6, 7)).astype(np.float32)
         got = np.asarray(channelnorm(x))

@@ -29,6 +29,7 @@ def _random_persons(rng, n=3):
     return centers, scales
 
 
+@pytest.mark.smoke
 def test_matmul_crop_matches_gather_warp(rng):
     img = rng.uniform(0, 255, (240, 320, 3)).astype(np.float32)
     centers, scales = _random_persons(rng)

@@ -31,6 +31,7 @@ CFG = Config(model=ModelConfig(image_size=(256, 192), heatmap_size=(64, 48)))
 
 
 class TestCOCODataset:
+    @pytest.mark.smoke
     def test_gt_db_and_item_shapes(self, coco_root):
         root, _, _ = coco_root
         ds = COCODataset(CFG, root, "val2017", is_train=True)

@@ -47,6 +47,7 @@ class TorchJointsMSELoss(tnn.Module):
 
 
 @pytest.mark.parametrize("use_tw", [True, False])
+@pytest.mark.smoke
 def test_joints_mse_matches_torch(rng, use_tw):
     n, h, w, k = 4, 8, 6, 17
     pred = rng.normal(size=(n, h, w, k)).astype(np.float32)

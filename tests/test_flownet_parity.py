@@ -81,6 +81,7 @@ def test_flownet_sd_parity():
                 convert_flownet_sd, x)
 
 
+@pytest.mark.smoke
 def test_preprocess_pair_and_upsample():
     rng = np.random.default_rng(3)
     im1 = rng.integers(0, 256, (2, 8, 8, 3)).astype(np.float32)

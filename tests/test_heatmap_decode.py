@@ -12,6 +12,7 @@ from flowtrack_tpu.ops.heatmap import (
 from flowtrack_tpu.ops.decode import get_final_preds, get_max_preds, rescore
 from flowtrack_tpu.ops.affine import get_affine_transform, affine_transform
 from flowtrack_tpu.config import COCO_FLIP_PAIRS
+import pytest
 
 
 def oracle_generate_target(joints, joints_vis, hm_hw, img_hw, sigma):
@@ -65,6 +66,7 @@ def test_get_max_preds(rng):
     assert np.asarray(maxvals)[0, 3] == 2.0
 
 
+@pytest.mark.smoke
 def test_quarter_offset_and_transform(rng):
     hm = np.zeros((1, 64, 48, 17), np.float32)
     px, py = 20, 30

@@ -19,6 +19,7 @@ def random_dets(rng, n=60):
     return np.concatenate([xy, xy + wh, scores], axis=1)
 
 
+@pytest.mark.smoke
 def test_cpu_nms_matches_numpy(rng):
     for trial in range(5):
         dets = random_dets(rng)

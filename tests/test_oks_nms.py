@@ -4,6 +4,8 @@ import numpy as np
 import jax.numpy as jnp
 
 from flowtrack_tpu.ops.oks import oks_matrix, oks_one_to_many, oks_iou_np, pose_area
+import pytest
+
 from flowtrack_tpu.ops.nms import (
     greedy_nms_from_matrix,
     iou_matrix,
@@ -89,6 +91,7 @@ def test_bbox_nms_with_padding(rng):
     assert not keep[n:].any()
 
 
+@pytest.mark.smoke
 def test_oks_nms_matches_oracle(rng):
     n = 12
     poses = _rand_poses(rng, n, spread=15.0)

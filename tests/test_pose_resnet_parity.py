@@ -22,6 +22,7 @@ from flowtrack_tpu.utils.torch_convert import (
 from tests.oracles.pose_resnet_torch import random_pose_resnet
 
 
+@pytest.mark.smoke
 def test_deconv_one_layer_golden():
     """THE layout-pinning test: 1 ConvTranspose2d vs our dilated-conv twin."""
     torch.manual_seed(0)

@@ -246,6 +246,7 @@ def test_backlog_flush_chains_full_clips():
             np.testing.assert_allclose(g_cj[t], w_cj[t], atol=1e-4)
 
 
+@pytest.mark.smoke
 def test_submit_validates_at_the_boundary():
     """submit() must reject malformed input with the stream named — not
     die later inside np.stack at clip assembly."""

@@ -110,6 +110,7 @@ def test_sharded_decode_matches_unsharded(rng):
     np.testing.assert_array_equal(np.asarray(got_v), np.asarray(want_v))
 
 
+@pytest.mark.smoke
 def test_pad_to_multiple():
     x = np.arange(13 * 4).reshape(13, 4).astype(np.float64)
     padded, n = pad_to_multiple(x, 8)

@@ -28,6 +28,7 @@ class TestGreedyMatch:
         assign = np.asarray(greedy_match(jnp.asarray(sim), 0.5))
         np.testing.assert_array_equal(assign, [0, 1, 2])
 
+    @pytest.mark.smoke
     def test_global_max_order(self):
         # candidate 0 similar to both tracks, but track 1 likes candidate 1
         # more. Global-max greedy: (t0,c0)=0.8 first, then (t1,c1)=0.7.
