@@ -653,11 +653,30 @@ def run_matrix():
              ms / n_pairs, flops / n_pairs, batch=n_pairs)
 
     # [B] config 4: full FlowTrack — ResNet-152 pose + FlowNet2 cascade +
-    # tracking via the whole-clip pipeline (flowtrack_posetrack preset)
-    if want("b4"):
-        fps, extras = run_clip_bench("flowtrack_posetrack", "flownet2")
+    # tracking via the whole-clip pipeline (flowtrack_posetrack preset) —
+    # plus its serving-optimum variants as FIRST-CLASS matrix configs
+    # (round-4 VERDICT item 3: every number quoted in STATUS must exist as
+    # a committed, driver-reproducible JSON line):
+    #   b4s    = 3 batched streams + bf16 cascade glue (the measured
+    #            serving optimum; 4 streams OOM, STATUS r4 item 9)
+    #   b4x384 = the 384x288 cascade — bf16 glue REQUIRED even for one
+    #            stream (fp32 glue exceeds 15.75G HBM, audited in
+    #            benchmarks/hbm_breakdown.py; STATUS r4 item 7)
+    def cascade_line(label, cfg_name, env):
+        if not want(label):
+            return
+        saved = {k: os.environ.get(k) for k in env}
+        os.environ.update(env)
+        try:
+            fps, extras = run_clip_bench(cfg_name, "flownet2")
+        finally:
+            for k, v in saved.items():
+                if v is None:
+                    os.environ.pop(k, None)
+                else:
+                    os.environ[k] = v
         line = {
-            "config": "b4_flowtrack_res152_flownet2",
+            "config": label,
             "metric": "pose+flow_tracking_frames_per_sec_per_chip",
             "value": round(fps, 2),
             "unit": f"frames/s ({PERSONS} persons, flip-test, "
@@ -666,7 +685,16 @@ def run_matrix():
             "platform": platform,
             **extras,
         }
+        if env:
+            line["env"] = env
         print(json.dumps(line), flush=True)
+
+    cascade_line("b4_flowtrack_res152_flownet2", "flowtrack_posetrack", {})
+    cascade_line("b4s_flowtrack_serving_3stream_bf16glue",
+                 "flowtrack_posetrack",
+                 {"BENCH_CLIPS": "3", "BENCH_GLUE_DTYPE": "bfloat16"})
+    cascade_line("b4x384_flowtrack_res152_flownet2_384x288_bf16glue",
+                 "coco_res152_384x288", {"BENCH_GLUE_DTYPE": "bfloat16"})
 
 
 def run_accuracy_smoke():
@@ -881,6 +909,127 @@ def run_train_accuracy_smoke():
     return stats["AP"]
 
 
+def run_latency_bench(mode: str):
+    """BENCH_LATENCY=1|stream: the serving layer's LATENCY surface
+    (round-4 VERDICT item 1 — throughput alone does not characterize a
+    serving layout; a frame can wait ~clip_len frames before its batched
+    step). Emits ONE json line per invocation.
+
+    mode "1": submit->emit latency of serving.MultiStreamTracker under a
+    saturated soak (every frame available the instant it is wanted, so
+    the measured latency is the PIPELINE's own: clip assembly + the
+    batched device step + host readback — the input-rate wait of a paced
+    camera is (clip_len-1-t)/fps arithmetic on top, set
+    BENCH_LATENCY_PACE_FPS to measure it included). Knobs: BENCH_FRAMES
+    (clip_len), BENCH_CLIPS (streams), BENCH_LATENCY_CLIPS (soak length
+    per stream, default 3). The clip_len sweep 8/16/32/48 is the
+    latency-vs-throughput trade published in README/STATUS.
+
+    mode "stream": per-frame latency of the sequential streaming tracker
+    (tracking.FlowTracker + PosePredictor/FlowPredictor — one jit step
+    per frame, the lowest-latency serving option), p50/p99 over
+    BENCH_LATENCY_FRAMES (default 200) timed steps after warmup.
+
+    Both run on whatever jax.devices()[0] is. On this machine every host
+    readback additionally rides the axon relay (~30 ms, CLAUDE.md) that a
+    PCIe host does not pay — the clip_len sweep's SHAPE is portable, the
+    absolute floor is relay-taxed."""
+    import jax
+
+    tracker, h, w = build_clip_tracker()
+    rng = np.random.default_rng(0)
+    platform = jax.devices()[0].platform
+    boxes = [[20.0 + 15 * p, 30.0 + 10 * p, 60.0, 90.0]
+             for p in range(PERSONS)]
+    scores = [0.9] * PERSONS
+
+    if mode == "stream":
+        from flowtrack_tpu.pipeline import FlowPredictor, PosePredictor
+        from flowtrack_tpu.tracking.tracker import FlowTracker
+
+        cfg = tracker.cfg
+        pose_fn = PosePredictor(cfg, tracker.pose_vars,
+                                model=tracker.pose_model,
+                                max_persons=PERSONS)
+        flow_fn = FlowPredictor(cfg, tracker.flow_vars,
+                                model=tracker.flow_model)
+        ft = FlowTracker(cfg, pose_fn, flow_fn)
+        n = int(os.environ.get("BENCH_LATENCY_FRAMES", "200"))
+        frames = rng.uniform(0, 255, (8, h, w, 3)).astype(np.float32)
+        b = np.asarray(boxes, np.float32)
+        s = np.asarray(scores, np.float32)
+        for t in range(3):  # compile both programs (flow needs t>0)
+            ft.step(frames[t % 8], b, s)
+        lat = []
+        for t in range(n):
+            t0 = time.perf_counter()
+            ft.step(frames[t % 8], b, s)
+            lat.append((time.perf_counter() - t0) * 1e3)
+        a = np.asarray(lat)
+        print(json.dumps({
+            "metric": "streaming_per_frame_latency_ms",
+            "value": round(float(np.percentile(a, 50)), 2),
+            "unit": f"ms/frame p50 ({h}x{w}, {PERSONS} persons, "
+                    f"flip-test, one jit step per frame, {BENCH_CFG})",
+            "p50_ms": round(float(np.percentile(a, 50)), 2),
+            "p90_ms": round(float(np.percentile(a, 90)), 2),
+            "p99_ms": round(float(np.percentile(a, 99)), 2),
+            "frames": n,
+            "throughput_fps": round(1e3 / a.mean(), 1),
+            "platform": platform,
+        }))
+        return
+
+    from flowtrack_tpu.serving import MultiStreamTracker
+
+    clip_len = _FRAMES_ENV or 48
+    streams = int(os.environ.get("BENCH_CLIPS", "0")) or 8
+    soak = int(os.environ.get("BENCH_LATENCY_CLIPS", "3"))
+    pace = float(os.environ.get("BENCH_LATENCY_PACE_FPS", "0"))
+    mst = MultiStreamTracker(tracker, clip_len=clip_len,
+                             batch_streams=streams)
+    frames = rng.uniform(0, 255, (clip_len, h, w, 3)).astype(np.float32)
+
+    def feed(n_rounds):
+        """Submit one frame to every stream per round (all ready clips
+        step as soon as the batch fills); returns frames emitted."""
+        emitted = 0
+        next_t = time.perf_counter()
+        for t in range(n_rounds):
+            if pace:
+                next_t += 1.0 / pace
+                dt = next_t - time.perf_counter()
+                if dt > 0:
+                    time.sleep(dt)
+            for sid in range(streams):
+                mst.submit(sid, frames[t % clip_len], boxes, scores)
+            for _sid, _first, tracks in mst.step():
+                emitted += len(tracks)
+        return emitted
+
+    feed(clip_len)          # warmup: compiles the batched clip program
+    mst.reset_latency_stats()
+    t0 = time.perf_counter()
+    emitted = feed(soak * clip_len)
+    wall = time.perf_counter() - t0
+    stats = mst.latency_stats()
+    print(json.dumps({
+        "metric": "serving_submit_to_emit_latency_ms",
+        "value": stats.get("p50_ms"),
+        "unit": f"ms submit->emit p50 ({h}x{w}, {PERSONS} persons, "
+                f"clip_len {clip_len}, {streams} streams, "
+                f"{'paced %.0f fps' % pace if pace else 'saturated'}, "
+                f"{BENCH_CFG})",
+        **stats,
+        "clip_len": clip_len,
+        "streams": streams,
+        "soak_clips_per_stream": soak,
+        "pace_fps": pace,
+        "throughput_fps": round(emitted / wall, 1),
+        "platform": platform,
+    }))
+
+
 def run_train_bench():
     """BENCH_TRAIN=1: pose-training throughput on the chip — samples/sec
     for the donated jit train step (ResNet-50 @256x192, reference recipe:
@@ -1037,6 +1186,9 @@ def main():
         return
     if os.environ.get("BENCH_TRAIN") == "1":
         run_train_bench()
+        return
+    if os.environ.get("BENCH_LATENCY"):
+        run_latency_bench(os.environ["BENCH_LATENCY"])
         return
     if os.environ.get("BENCH_MATRIX") == "1":
         run_matrix()

@@ -96,6 +96,7 @@ def load_trace_events(trace_dir: str):
             "dur": float(ev.get("dur", 0.0)),
             "cat": args.get("hlo_category", "?"),
             "source": _repo_source(args),
+            "frames": _repo_frames(args),
         })
     return out
 
@@ -108,6 +109,95 @@ def _repo_source(args) -> str:
         if "/flowtrack_tpu/" in line or "/tests/" in line:
             return line.rsplit(":", 1)[0]
     return args.get("source", "?")
+
+
+def _repo_frames(args):
+    """All (path, line) repo frames of an event's source stack."""
+    out = []
+    for line in args.get("source_stack", "").split("\n"):
+        if "/flowtrack_tpu/" not in line:
+            continue
+        path, _, ln = line.strip().rpartition(":")
+        try:
+            out.append((path, int(ln)))
+        except ValueError:
+            pass
+    return out
+
+
+def _cascade_stage_classifier():
+    """Build a stage classifier from LIVE source ranges (inspect), so the
+    per-stage attribution survives edits to models/flownet.py.
+
+    Returns classify(frames) -> stage label. Stages: the five cascade
+    sub-nets (the two FlowNetS stages disambiguated by their FlowNet2
+    call-site line), the FlowNet2 glue (warps/channelnorm/upsample), the
+    pose net, the Pallas kernels, and the tracking scans — the buckets
+    round-4 VERDICT item 2 asks the conv time to be split across."""
+    import inspect
+
+    from flowtrack_tpu.models import flownet
+
+    ranges = []   # (label, lo, hi) within models/flownet.py
+    for cls in (flownet.FlowNetC, flownet.FlowNetSD,
+                flownet.FlowNetFusion, flownet.FlowNetS):
+        lines, start = inspect.getsourcelines(cls)
+        ranges.append((cls.__name__, start, start + len(lines)))
+    # _RefinementTrunk is shared by FlowNetC and FlowNetS — its frames
+    # alone cannot name the stage; the OUTER stage-class/call-site frame
+    # does. FlowNet2/CSS body ranges mark glue + stage call sites.
+    tr_lines, tr_start = inspect.getsourcelines(flownet._RefinementTrunk)
+    trunk = (tr_start, tr_start + len(tr_lines))
+    f2_lines, f2_start = inspect.getsourcelines(flownet.FlowNet2)
+    f2 = (f2_start, f2_start + len(f2_lines))
+
+    def callsite(substr):
+        for i, ln in enumerate(f2_lines):
+            if substr in ln:
+                return f2_start + i
+        return -1
+
+    s1_line = callsite("flownets1(stage_input")
+    s2_line = callsite("flownets2(stage_input")
+    flownet_py = flownet.__file__
+
+    def classify(frames):
+        in_flownet = [ln for (p, ln) in frames if p == flownet_py]
+        stage = None
+        for ln in in_flownet:
+            for label, lo, hi in ranges:
+                if lo <= ln < hi:
+                    stage = label
+                    break
+            if stage:
+                break
+        f2_frames = [ln for ln in in_flownet if f2[0] <= ln < f2[1]]
+        if stage == "FlowNetS" or (stage is None and any(
+                trunk[0] <= ln < trunk[1] for ln in in_flownet)):
+            # which S stage (or C's trunk)? the FlowNet2 call-site frame
+            if s1_line in f2_frames:
+                return "flownets_1"
+            if s2_line in f2_frames:
+                return "flownets_2"
+            return stage.lower() if stage else "trunk_shared"
+        if stage:
+            return stage.lower()
+        if f2_frames:
+            return "flownet2_glue"   # warps, channelnorm, upsamples
+        for p, _ in frames:
+            if "/ops/warp.py" in p:
+                return "warp_kernel"
+            if "/ops/correlation.py" in p:
+                return "correlation_kernel"
+            if "/models/pose_resnet.py" in p or "/models/layers.py" in p:
+                return "pose_resnet"
+            if "/tracking/" in p:
+                return "tracking_scans"
+            if "/ops/" in p:
+                return "ops_glue"
+        return "other"
+
+    return classify
 
 
 def main():
@@ -124,11 +214,18 @@ def main():
     by_cat = defaultdict(float)
     by_src = defaultdict(float)
     by_op = defaultdict(float)
+    by_stage = defaultdict(float)
+    conv_by_stage = defaultdict(float)
+    classify = _cascade_stage_classifier()
     total = 0.0
     for ev in events:
         by_cat[ev["cat"]] += ev["dur"]
         by_src[ev["source"]] += ev["dur"]
         by_op[ev["name"]] += ev["dur"]
+        stage = classify(ev["frames"])
+        by_stage[stage] += ev["dur"]
+        if "convolution" in ev["cat"].lower():
+            conv_by_stage[stage] += ev["dur"]
         total += ev["dur"]
     print(json.dumps({"device_op_ms_total": round(total / 1e3, 1),
                       "events": len(events), "reps": reps}))
@@ -136,6 +233,16 @@ def main():
     for k, v in sorted(by_cat.items(), key=lambda kv: -kv[1]):
         if v / total > 0.001:
             print(f"{v/1e3:9.2f} ms  {100*v/total:5.1f}%  {k}")
+    print("\n-- by cascade stage (all ops) --")
+    for k, v in sorted(by_stage.items(), key=lambda kv: -kv[1]):
+        if v / total > 0.001:
+            print(f"{v/1e3:9.2f} ms  {100*v/total:5.1f}%  {k}")
+    conv_total = sum(conv_by_stage.values())
+    if conv_total:
+        print("\n-- convolution time by cascade stage --")
+        for k, v in sorted(conv_by_stage.items(), key=lambda kv: -kv[1]):
+            print(f"{v/1e3:9.2f} ms  {100*v/total:5.1f}% of program "
+                  f"({100*v/conv_total:5.1f}% of conv)  {k}")
     print("\n-- by repo source line (top 30) --")
     for k, v in sorted(by_src.items(), key=lambda kv: -kv[1])[:30]:
         print(f"{v/1e3:9.2f} ms  {100*v/total:5.1f}%  {k}")

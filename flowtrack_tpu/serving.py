@@ -29,6 +29,7 @@ a TPU-native addition on top of the same per-stream contract.
 
 from __future__ import annotations
 
+import time
 from typing import Dict, Hashable, List, Optional, Tuple
 
 import numpy as np
@@ -74,6 +75,11 @@ class MultiStreamTracker:
         self._seed: Dict[Hashable, tuple] = {}    # device seed tuple
         self._emitted: Dict[Hashable, int] = {}   # frames emitted so far
         self._frame_spec: Optional[tuple] = None  # (shape, dtype) of record
+        # submit->emit latency: one perf_counter per buffered frame, popped
+        # in emission order (every frame is emitted exactly once per
+        # stream, so the deque head is always the next frame to emit)
+        self._submit_ts: Dict[Hashable, list] = {}
+        self._latencies_ms: List[float] = []
 
     # -- ingestion ---------------------------------------------------------
 
@@ -115,6 +121,7 @@ class MultiStreamTracker:
             (frame, boxes, scores))
         self._emitted.setdefault(stream_id, 0)
         self._seed.setdefault(stream_id, None)
+        self._submit_ts.setdefault(stream_id, []).append(time.perf_counter())
 
     def _need(self, sid) -> int:
         """Buffered frames needed for the next clip: the first clip is
@@ -141,6 +148,41 @@ class MultiStreamTracker:
         return self.tracker.prepare(frames, db, dsc, dv,
                                     frame_offset=first_global)
 
+    def _record_latency(self, sid, n_emitted: int) -> None:
+        """Pop the n oldest submit timestamps of this stream (the frames
+        just emitted, in submission order) and record submit->emit wall
+        latencies. Called AFTER the host fetch, so the device step + the
+        readback are inside the measured interval."""
+        now = time.perf_counter()
+        ts = self._submit_ts.get(sid, [])
+        self._latencies_ms.extend(
+            (now - t) * 1e3 for t in ts[:n_emitted])
+        del ts[:n_emitted]
+
+    def latency_stats(self) -> dict:
+        """Submit->emit latency (ms) over every frame emitted since the
+        last reset_latency_stats(): waiting buffered for the clip to fill
+        + the batched device step + host readback. The serving layer's
+        product latency surface (round-4 VERDICT item 1); on this machine
+        readbacks additionally ride the axon relay (~30 ms each,
+        CLAUDE.md) which a PCIe host does not pay."""
+        a = np.asarray(self._latencies_ms, np.float64)
+        if a.size == 0:
+            return {"count": 0}
+        return {"count": int(a.size),
+                "p50_ms": round(float(np.percentile(a, 50)), 2),
+                "p90_ms": round(float(np.percentile(a, 90)), 2),
+                "p99_ms": round(float(np.percentile(a, 99)), 2),
+                "max_ms": round(float(a.max()), 2),
+                "mean_ms": round(float(a.mean()), 2)}
+
+    def reset_latency_stats(self) -> None:
+        """Drop recorded latencies (e.g. after the compile warmup clip —
+        first-step compilation would otherwise dominate every percentile).
+        Pending submit timestamps are kept: buffered frames still in
+        flight measure their true wait."""
+        self._latencies_ms.clear()
+
     def _consume(self, sid, out) -> Tuple[int, List[List[dict]]]:
         """Advance the stream past the tracked clip; return the emitted
         frames (skipping the overlap duplicate for non-first clips)."""
@@ -151,6 +193,7 @@ class MultiStreamTracker:
         self._emitted[sid] += len(tracks)
         # keep the clip's LAST frame as the next clip's overlap frame 0
         self._frames[sid] = self._frames[sid][self.clip_len - 1:]
+        self._record_latency(sid, len(tracks))
         return start_global, tracks
 
     def _run_single(self, sid):
@@ -232,6 +275,7 @@ class MultiStreamTracker:
             skip = 1 if self._emitted[sid] > 0 else 0
             if len(buf) <= skip:       # only the overlap frame left
                 del self._frames[sid], self._seed[sid], self._emitted[sid]
+                self._submit_ts.pop(sid, None)
                 continue
             frames = np.stack([np.asarray(f) for f, _, _ in buf])
             frames, boxes, scores, fv, real = pad_tail_clip(
@@ -246,6 +290,8 @@ class MultiStreamTracker:
                 seed=self._seed[sid])
             out = self.tracker.to_host(out_dev)
             tracks = [tracks_of_frame(out, t) for t in range(skip, real)]
+            self._record_latency(sid, len(tracks))
             results.append((sid, self._emitted[sid], tracks))
             del self._frames[sid], self._seed[sid], self._emitted[sid]
+            self._submit_ts.pop(sid, None)
         return results

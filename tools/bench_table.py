@@ -20,6 +20,9 @@ LABELS = {
     "b3": "3: FlowNetS frame pairs",
     "b4": "4: full FlowTrack (R152 + FlowNet2 cascade, clip path, "
           "recovery on)",
+    "b4s": "4s: FlowTrack serving optimum (3 batched streams, bf16 glue)",
+    "b4x384": "4@384: full FlowTrack @384×288 (bf16 glue — fp32 exceeds "
+              "HBM)",
 }
 
 
