@@ -627,6 +627,14 @@ def run_matrix():
                         "coco_res152_384x288",
                         batch=-(-(bo or 256) // ppi) * ppi,
                         with_nms=True, persons_per_img=ppi)
+    # p0: isolated R152@256x192 probe — NOT a BASELINE config (explicit
+    # BENCH_MATRIX_ONLY=p0 only). The r5 per-stage trace shows b4's
+    # device time is ~56% pose R152@256x192; this measures that net's
+    # own MFU ceiling at b4's shapes so the gap can be attributed to the
+    # pose net itself vs the surrounding program.
+    if only and want("p0"):
+        pose_eval_bench("p0_res152_256x192_flip_decode",
+                        "coco_res152_256x192", batch=bo or 256)
 
     # [B] config 3: FlowNetS on frame pairs. Batch 256 (4 production
     # clips): the 8x6/4x3-spatial deep layers are BATCH-bound — measured
