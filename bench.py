@@ -994,9 +994,17 @@ def run_latency_bench(mode: str):
     streams = int(os.environ.get("BENCH_CLIPS", "0")) or 8
     soak = int(os.environ.get("BENCH_LATENCY_CLIPS", "3"))
     pace = float(os.environ.get("BENCH_LATENCY_PACE_FPS", "0"))
+    # BENCH_LATENCY_PIPELINE=1: dispatch batch t+1 while batch t computes
+    # (serving.MultiStreamTracker pipeline_depth) — on this machine the
+    # saturated soak is RELAY-bound (H2D + per-fresh-buffer staging tax,
+    # CLAUDE.md), which is exactly what pipelining can hide.
+    # BENCH_LATENCY_DTYPE=uint8: real video sources are uint8 (4x less
+    # H2D than f32; accepted end-to-end since round 2).
+    pipe = int(os.environ.get("BENCH_LATENCY_PIPELINE", "0"))
+    dt = np.dtype(os.environ.get("BENCH_LATENCY_DTYPE", "float32"))
     mst = MultiStreamTracker(tracker, clip_len=clip_len,
-                             batch_streams=streams)
-    frames = rng.uniform(0, 255, (clip_len, h, w, 3)).astype(np.float32)
+                             batch_streams=streams, pipeline_depth=pipe)
+    frames = rng.uniform(0, 255, (clip_len, h, w, 3)).astype(dt)
 
     def feed(n_rounds):
         """Submit one frame to every stream per round (all ready clips
@@ -1016,9 +1024,15 @@ def run_latency_bench(mode: str):
         return emitted
 
     feed(clip_len)          # warmup: compiles the batched clip program
+    if pipe:                # surface the warmup batch before the soak
+        for _sid, _first, tracks in mst.step(force=True):
+            pass
     mst.reset_latency_stats()
     t0 = time.perf_counter()
     emitted = feed(soak * clip_len)
+    if pipe:                # drain the last in-flight batch
+        for _sid, _first, tracks in mst.step(force=True):
+            emitted += len(tracks)
     wall = time.perf_counter() - t0
     stats = mst.latency_stats()
     print(json.dumps({
@@ -1033,6 +1047,8 @@ def run_latency_bench(mode: str):
         "streams": streams,
         "soak_clips_per_stream": soak,
         "pace_fps": pace,
+        "pipeline_depth": pipe,
+        "frame_dtype": str(dt),
         "throughput_fps": round(emitted / wall, 1),
         "platform": platform,
     }))

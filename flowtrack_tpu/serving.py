@@ -62,13 +62,24 @@ class MultiStreamTracker:
     axis across a mesh — the multi-chip serving layout."""
 
     def __init__(self, tracker: ClipTracker, clip_len: int = 64,
-                 batch_streams: int = 4, sharding=None):
+                 batch_streams: int = 4, sharding=None,
+                 pipeline_depth: int = 0):
         if clip_len < 2:
             raise ValueError("clip_len must be >= 2 (1-frame clip overlap)")
         self.tracker = tracker
         self.clip_len = clip_len
         self.batch_streams = batch_streams
         self.sharding = sharding
+        # pipeline_depth=1: step() DISPATCHES the current ready batch
+        # (async, jax dispatch) and returns the PREVIOUS batch's
+        # emissions — host-side clip prep + H2D of batch t+1 overlap the
+        # device compute of batch t instead of serializing behind its
+        # readback. Stream state (buffers, device seeds, emitted
+        # counters) advances at dispatch, so chaining is unaffected;
+        # emissions surface one step later (flush/drain fetch the rest).
+        # 0 = synchronous (dispatch + fetch in the same step).
+        self.pipeline_depth = pipeline_depth
+        self._pending: List[tuple] = []   # dispatched, not yet fetched
         self.max_persons = tracker.max_persons
         # per-stream state
         self._frames: Dict[Hashable, list] = {}   # buffered (frame, b, s)
@@ -183,40 +194,28 @@ class MultiStreamTracker:
         flight measure their true wait."""
         self._latencies_ms.clear()
 
-    def _consume(self, sid, out) -> Tuple[int, List[List[dict]]]:
-        """Advance the stream past the tracked clip; return the emitted
-        frames (skipping the overlap duplicate for non-first clips)."""
+    def _advance(self, sid) -> Tuple[int, int]:
+        """Advance the stream past a just-DISPATCHED clip (buffer trim +
+        emitted counter), so the next dispatch prepares the right frames
+        even while this clip's results are still computing. Returns
+        (start_global, skip) for the eventual fetch."""
         skip = 1 if self._emitted[sid] > 0 else 0
         start_global = self._emitted[sid]
-        tracks = [tracks_of_frame(out, t)
-                  for t in range(skip, out["valid"].shape[0])]
-        self._emitted[sid] += len(tracks)
+        self._emitted[sid] += self.clip_len - skip
         # keep the clip's LAST frame as the next clip's overlap frame 0
         self._frames[sid] = self._frames[sid][self.clip_len - 1:]
-        self._record_latency(sid, len(tracks))
-        return start_global, tracks
+        return start_global, skip
 
-    def _run_single(self, sid):
-        """Track ONE full clip of one stream via the (already warm)
-        single-clip program; returns its (sid, first, tracks) emission."""
-        out_dev = self.tracker.run_prepared(self._clip_args(sid),
-                                            seed=self._seed[sid])
-        self._seed[sid] = out_dev[5]
-        first, tracks = self._consume(sid, self.tracker.to_host(out_dev))
-        return sid, first, tracks
-
-    def step(self, force: bool = False):
-        """Track up to ``batch_streams`` ready clips in one device call.
-
-        Returns a list of (stream_id, first_frame_index, per_frame_tracks)
-        for every clip tracked this step ([] if nothing was ready, or when
-        fewer than batch_streams streams are ready and ``force`` is off)."""
-        sids = self.ready()
-        if not sids or (len(sids) < self.batch_streams and not force):
-            return []
-        sids = sids[:self.batch_streams]
+    def _dispatch(self, sids) -> tuple:
+        """Dispatch one device call for these ready clips (async — jax
+        returns immediately); update device-side seeds and stream state.
+        Returns the pending entry for _fetch."""
         if len(sids) == 1:
-            return [self._run_single(sids[0])]
+            sid = sids[0]
+            out_dev = self.tracker.run_prepared(self._clip_args(sid),
+                                                seed=self._seed[sid])
+            self._seed[sid] = out_dev[5]
+            return (out_dev[:5], [(sid,) + self._advance(sid)])
 
         per_stream = [self._clip_args(sid) for sid in sids]
         args = [jnp.stack([p[j] for p in per_stream]) for j in range(7)]
@@ -233,18 +232,51 @@ class MultiStreamTracker:
                 + args[7:]
         out_dev = self.tracker._clips_fn(self.tracker.pose_vars,
                                          self.tracker.flow_vars, *args)
-        # ONE batched readback per output leaf (this machine's relay
-        # charges ~30ms per forced readback; per-lane fetches would pay
-        # 5 x batch_streams of them), then numpy-slice per lane
-        host = [np.asarray(leaf) for leaf in out_dev[:5]]
-        results = []
+        metas = []
         for i, sid in enumerate(sids):
             # per-lane seed slices stay device-side
             self._seed[sid] = tuple(leaf[i] for leaf in out_dev[5])
-            out_i = self.tracker.to_host(
-                tuple(h[i] for h in host) + (None,))
-            first, tracks = self._consume(sid, out_i)
-            results.append((sid, first, tracks))
+            metas.append((sid, i) + self._advance(sid))
+        return (out_dev[:5], metas)
+
+    def _fetch(self, entry) -> list:
+        """Host-fetch a dispatched batch and build its emissions. ONE
+        batched readback per output leaf (this machine's relay charges
+        ~30ms per forced readback; per-lane fetches would pay
+        5 x batch_streams of them), then numpy-slice per lane."""
+        out_dev, metas = entry
+        host = [np.asarray(leaf) for leaf in out_dev]
+        results = []
+        for meta in metas:
+            if len(meta) == 3:          # single-clip dispatch
+                sid, start, skip = meta
+                out = self.tracker.to_host(tuple(host) + (None,))
+            else:
+                sid, lane, start, skip = meta
+                out = self.tracker.to_host(
+                    tuple(h[lane] for h in host) + (None,))
+            tracks = [tracks_of_frame(out, t)
+                      for t in range(skip, out["valid"].shape[0])]
+            self._record_latency(sid, len(tracks))
+            results.append((sid, start, tracks))
+        return results
+
+    def step(self, force: bool = False):
+        """Track up to ``batch_streams`` ready clips in one device call.
+
+        Returns a list of (stream_id, first_frame_index, per_frame_tracks)
+        emissions. With ``pipeline_depth=0`` these are this step's clips
+        ([] if nothing was ready, or when fewer than batch_streams
+        streams are ready and ``force`` is off); with ``pipeline_depth=1``
+        the dispatched batch's emissions surface on the NEXT step (or at
+        flush/drain) while its device call overlaps this step's prep."""
+        sids = self.ready()
+        if sids and (len(sids) >= self.batch_streams or force):
+            self._pending.append(self._dispatch(sids[:self.batch_streams]))
+        results = []
+        keep = 0 if force else self.pipeline_depth
+        while len(self._pending) > keep:
+            results += self._fetch(self._pending.pop(0))
         return results
 
     def drain(self):
@@ -268,9 +300,11 @@ class MultiStreamTracker:
         from flowtrack_tpu.utils.video import pad_tail_clip
 
         results = []
+        while self._pending:   # surface anything still in the pipeline
+            results += self._fetch(self._pending.pop(0))
         for sid in list(self._frames):
             while len(self._frames[sid]) >= self.clip_len:
-                results.append(self._run_single(sid))
+                results += self._fetch(self._dispatch([sid]))
             buf = self._frames[sid]
             skip = 1 if self._emitted[sid] > 0 else 0
             if len(buf) <= skip:       # only the overlap frame left

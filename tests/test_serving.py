@@ -96,6 +96,67 @@ def test_multistream_matches_per_stream_reference():
         assert len(a_ids) == 1, a_ids
 
 
+def test_pipelined_serving_matches_unpipelined():
+    """pipeline_depth=1 (dispatch batch t+1 while batch t computes) must
+    change WHEN emissions surface, never WHAT they are: same per-stream
+    per-frame tracks as the synchronous tracker, including cross-clip id
+    continuity and the ragged flush tail."""
+    cfg = make_cfg()
+    tracker = ClipTracker(cfg, StubPose(), {}, StubFlow(), {})
+    for n in (10, 11):
+        fa, ba, sa = scenario_a(n)
+        fb, bb, sb = scenario_b(n)
+
+        def run(depth):
+            mst = MultiStreamTracker(tracker, clip_len=CLIP,
+                                     batch_streams=2,
+                                     pipeline_depth=depth)
+            got = {"A": [None] * n, "B": [None] * n}
+            emitted = []
+            for t in range(n):
+                mst.submit("A", fa[t], ba[t], sa[t])
+                mst.submit("B", fb[t], bb[t], sb[t])
+                emitted += mst.step()
+            emitted += mst.flush()
+            for sid, first, tracks in emitted:
+                for i, fr in enumerate(tracks):
+                    assert got[sid][first + i] is None  # exactly once
+                    got[sid][first + i] = fr
+            assert mst.latency_stats()["count"] == 2 * n
+            return got
+
+        want = run(0)
+        got = run(1)
+        for sid in ("A", "B"):
+            assert all(fr is not None for fr in got[sid]), (n, sid)
+            w_ids, w_cj = ids_and_joints(want[sid])
+            g_ids, g_cj = ids_and_joints(got[sid])
+            assert g_ids == w_ids, (n, sid)
+            for t in range(n):
+                np.testing.assert_allclose(g_cj[t], w_cj[t], atol=1e-4)
+
+
+def test_pipelined_step_defers_one_batch():
+    """With depth=1 the first ready batch's emissions surface on the NEXT
+    step (or at flush), pinning that dispatch and fetch are decoupled."""
+    cfg = make_cfg()
+    tracker = ClipTracker(cfg, StubPose(), {}, StubFlow(), {})
+    n = 2 * CLIP  # two full clips per stream
+    fa, ba, sa = scenario_a(n)
+    mst = MultiStreamTracker(tracker, clip_len=CLIP, batch_streams=1,
+                             pipeline_depth=1)
+    seen_at = {}
+    for t in range(n):
+        mst.submit("A", fa[t], ba[t], sa[t])
+        for sid, first, tracks in mst.step():
+            seen_at[first] = t
+    # clip 0 became ready at t=3 but must only surface when clip 1's
+    # dispatch displaced it (t = 2*CLIP-2), not at t=CLIP-1
+    assert seen_at.get(0, None) == 2 * CLIP - 2, seen_at
+    left = mst.flush()
+    assert sum(len(tr) for _, _, tr in left) == n - CLIP
+
+
 def test_latency_stats_cover_every_emitted_frame():
     """Submit->emit latency accounting (round-4 VERDICT item 1): exactly
     one latency sample per emitted frame — through batched steps, the
