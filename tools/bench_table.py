@@ -46,10 +46,47 @@ def render(lines):
     return "\n".join(rows)
 
 
+def render_latency(lines):
+    """BENCH_LATENCY JSON lines -> the README latency-vs-throughput
+    table (clip_len sweep + streaming mode)."""
+    rows = ["| serving mode | p50 | p99 | throughput |",
+            "|---|---|---|---|"]
+    for line in lines:
+        line = line.strip()
+        if not line or not line.startswith("{"):
+            continue
+        rec = json.loads(line)
+        if rec.get("metric") == "streaming_per_frame_latency_ms":
+            label = "streaming per-frame step (1 jit step/frame)"
+        elif rec.get("metric") == "serving_submit_to_emit_latency_ms":
+            pace = rec.get("pace_fps") or 0
+            extras = []
+            if pace:
+                extras.append(f"paced {pace:g} fps")
+            if rec.get("pipeline_depth"):
+                extras.append("pipelined")
+            if rec.get("frame_dtype", "float32") != "float32":
+                extras.append(rec["frame_dtype"])
+            extra = f" ({', '.join(extras)})" if extras else ""
+            label = (f"batched: clip_len {rec['clip_len']} x "
+                     f"{rec['streams']} streams{extra}")
+        else:
+            continue
+        rows.append(
+            f"| {label} | {rec['p50_ms']:g} ms | {rec['p99_ms']:g} ms | "
+            f"{rec['throughput_fps']:g} f/s |")
+    return "\n".join(rows)
+
+
 def main():
-    path = sys.argv[1] if len(sys.argv) > 1 else "BENCH_MATRIX_r03.jsonl"
+    args = [a for a in sys.argv[1:] if a != "--latency"]
+    path = args[0] if args else "BENCH_MATRIX_r03.jsonl"
     with open(path) as f:
-        print(render(f.readlines()))
+        lines = f.readlines()
+    if "--latency" in sys.argv:
+        print(render_latency(lines))
+    else:
+        print(render(lines))
 
 
 if __name__ == "__main__":
