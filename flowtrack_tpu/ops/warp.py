@@ -142,7 +142,15 @@ def resample2d(img, flow, use_pallas: bool = False, interpret: bool = False,
 # resolutions); oversized images fall back to the XLA path.
 # ---------------------------------------------------------------------------
 
-_PALLAS_WARP_VMEM_CAP = 32 * 1024 * 1024
+# Mosaic's scoped-vmem stack limit, measured on-chip 2026-08-19: compiling
+# the kernel at wp=640 (which a 32 MB cap admitted) failed with "Scoped
+# allocation with size 24.90M and limit 16.00M exceeded" — the per-step
+# stack budget is 16 MB, not the 128 MB VMEM total. The byte estimate
+# below OVERSHOOTS the compiler's real stack figure (31.9 MB estimated at
+# the failing wp=640 vs 24.9 MB real), so estimate <= 16 MB is a sound
+# admit rule; the largest admitted class (wp=384, 14.6 MB estimated) is
+# compile+run validated on-chip (benchmarks/probe_warp_boundary.py).
+_PALLAS_WARP_VMEM_CAP = 16 * 1024 * 1024
 _WARP_BLOCK_H = 8
 
 
@@ -173,13 +181,16 @@ def _pallas_warp_vmem_bytes(img) -> int:
 
 
 def _pallas_warp_supported(img) -> bool:
-    """Admit shapes whose budgeted VMEM fits the cap; reject -> the XLA
-    slice-gather path (identical semantics). Cap 32 MB: the production
-    cascade shapes (wp=256 at 256x192 -> ~7 MB, wp=384 at 384x320 ->
-    ~15 MB, both measured running on-chip) keep 2x headroom, and the
-    boundary (admits wp=512@h<=416, rejects wp=640) is compile-validated
-    on-chip (STATUS.md round-5) and pinned by tests/test_correlation_warp
-    fallback-boundary tests."""
+    """Admit shapes whose budgeted VMEM fits Mosaic's 16 MB scoped-vmem
+    stack limit; reject -> the XLA slice-gather path (identical
+    semantics). The production cascade shapes (wp=256 at 256x192 ->
+    6.75 MB, wp=384 at 384x320 -> 14.6 MB) are both measured running
+    on-chip; the first rejected width class (wp=448) falls back — pinned
+    by tests/test_correlation_warp fallback-boundary tests and
+    benchmarks/probe_warp_boundary.py on the real chip. (A 32 MB cap was
+    falsified on-chip round 5: it admitted wp=640, whose real scoped
+    stack is 24.9 MB > the 16 MB hardware limit -> compile failure
+    instead of fallback.)"""
     n, h, w, c = img.shape
     if h < 2 or w < 2:
         return False  # degenerate fields: XLA path has the exact semantics

@@ -266,11 +266,20 @@ class TestResample2dPallas:
         from flowtrack_tpu.ops.warp import (_PALLAS_WARP_VMEM_CAP,
                                             _pallas_warp_supported,
                                             _pallas_warp_vmem_bytes)
-        # production cascade shapes stay admitted with >=2x headroom
+        # production cascade shapes stay admitted (both classes measured
+        # running on-chip; the 256x192 class with >=2x headroom)
         for shape in [(1, 256, 192, 3), (1, 384, 320, 3)]:
             img = np.zeros(shape, np.float32)
             assert _pallas_warp_supported(img)
-            assert _pallas_warp_vmem_bytes(img) <= _PALLAS_WARP_VMEM_CAP / 2
+        assert (_pallas_warp_vmem_bytes(np.zeros((1, 256, 192, 3),
+                                                 np.float32))
+                <= _PALLAS_WARP_VMEM_CAP / 2)
+        # the cap is Mosaic's measured scoped-vmem stack limit: 16 MB.
+        # wp=640 (estimate 31.9 MB, real 24.9 MB) crashed compile under
+        # the old 32 MB cap on-chip — it must be rejected.
+        assert _PALLAS_WARP_VMEM_CAP == 16 * 2**20
+        assert not _pallas_warp_supported(
+            np.zeros((1, 256, 640, 3), np.float32))
         assert not _pallas_warp_supported(
             np.zeros((1, 2048, 2048, 3), np.float32))
 
