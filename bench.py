@@ -1304,6 +1304,12 @@ def main():
     # (gpu_envelope/envelope_extras; math pinned by tests/test_bench_flops)
     if extras.get("gflops_per_frame"):
         out.update(envelope_extras(fps, extras["gflops_per_frame"]))
+        if BENCH_CFG != "coco_res50_256x192":
+            # the >=10x north-star is a claim about the HEADLINE config
+            # (the default invocation the driver captures); non-headline
+            # configs keep the informative envelope ratio but must not
+            # emit a false-looking guard flag into committed artifacts
+            out.pop("north_star_ok"), out.pop("north_star_margin_pct")
     print(json.dumps(out))
 
 
