@@ -70,12 +70,19 @@ def main() -> None:
         for impl, fn in (("xla", lambda a, b: resample2d(a, b)),
                          ("pallas", lambda a, b: resample2d_pallas(a, b)),
                          ("pallas_mm",
-                          lambda a, b: resample2d_pallas_mm(a, b))):
+                          lambda a, b: resample2d_pallas_mm(a, b)),
+                         # v3: relu-form weight construction (the a_mat
+                         # build, not the dots, dominates the kernel)
+                         ("pallas_mm_v3",
+                          lambda a, b: resample2d_pallas_mm(
+                              a, b, relu_weights=True))):
             try:
                 ms = measure(fn, img, fl, perturb=0)
+                from flowtrack_tpu.ops.warp import _WARP_MM_CHUNK
                 print(json.dumps({
                     "probe": "dense_warp", "impl": impl, "regime": regime,
                     "n": n, "h": h, "w": w, "max_abs_flow": round(rng_span, 2),
+                    "mm_chunk": _WARP_MM_CHUNK,
                     "ms_per_batch": round(ms, 3),
                     "us_per_image": round(1e3 * ms / n, 1)}), flush=True)
             except Exception as e:  # noqa: BLE001 — report, keep probing

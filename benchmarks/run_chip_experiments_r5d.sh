@@ -12,4 +12,21 @@ timeout 3600 python benchmarks/probe_warp_boundary.py >> "$LOG" \
   || echo '{"step": "warp_boundary_r5d", "error": true}' >> "$LOG"
 tail -3 /tmp/chip_err_warp_boundary_r5d.log >&2 || true
 
+# Real-time serving latency: paced 30 fps at the low-latency clip
+# geometries with the production ingest levers (pipelined dispatch +
+# uint8 frame transport) — the row a serving user actually runs.
+run() {
+  desc=$1; shift
+  echo "== $desc" >&2
+  ( "$@" 2>"/tmp/chip_err_$desc.log" \
+    || echo "{\"step\": \"$desc\", \"error\": true}" ) | tail -1 >> "$LOG"
+  tail -3 "/tmp/chip_err_$desc.log" >&2 || true
+}
+for F in 8 16; do
+  run "lat_f${F}_paced30_pipe_u8" env BENCH_LATENCY=1 BENCH_FRAMES=$F \
+    BENCH_LATENCY_PACE_FPS=30 BENCH_LATENCY_PIPELINE=1 \
+    BENCH_LATENCY_DTYPE=uint8 BENCH_SKIP_ORACLE=1 \
+    timeout 3600 python bench.py
+done
+
 echo "done: $LOG" >&2

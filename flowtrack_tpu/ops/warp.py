@@ -20,6 +20,7 @@ downgrade, SURVEY.md section 3 native census item 3). Layout NHWC; flow is
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -322,10 +323,21 @@ def resample2d_pallas(img, flow, interpret: bool = False):
     return jnp.transpose(out[:, :h, :, :w], (0, 1, 3, 2))
 
 
-_WARP_MM_CHUNK = 16  # dy rows contracted per packed matmul (see below)
+# dy rows contracted per packed matmul (see _warp_kernel_mm). Env knob for
+# the on-chip probe only: (S + block_h) * C <= 128 keeps the packed dot a
+# single systolic pass, so S=32 (M=120) costs the same per pass as S=16
+# (M=72) while halving the chunk count for wide-dy flows.
+_WARP_MM_CHUNK = int(os.environ.get("FLOWTRACK_WARP_MM_CHUNK", "16"))
+
+# Weight-construction variant (see _warp_kernel_mm): "v2" = int-iota
+# compares + selects; "v3" = relu(1 - |i - sx|) closed form. Env knob is
+# the e2e A/B switch; resample2d_pallas_mm(relu_weights=...) overrides
+# per call (the on-chip microbench path).
+_WARP_MM_RELU = os.environ.get("FLOWTRACK_WARP_MM_WEIGHTS", "v2") == "v3"
 
 
-def _warp_kernel_mm(img_ref, flow_ref, out_ref, *, block_h, h, w, wp, c):
+def _warp_kernel_mm(img_ref, flow_ref, out_ref, *, block_h, h, w, wp, c,
+                    relu_weights=False):
     """Matmul variant: the x-interpolation as an MXU contraction.
 
     The shift-accumulate kernel's dx loop is a dynamic lane rotate per
@@ -351,6 +363,18 @@ def _warp_kernel_mm(img_ref, flow_ref, out_ref, *, block_h, h, w, wp, c):
     relevant packed rows per output element on the VPU. MXU passes drop
     ~S×; cost is adaptive in ceil(ny/S) chunks (smooth cascade flow:
     usually 1-2).
+
+    relu_weights ("v3"): the r5 trace shows the kernel's cost is NOT the
+    MXU dots (M <= 128 rides one systolic pass) but the O(bh*wp^2) VPU
+    construction of a_mat. Anchored 2-tap bilinear weights have a closed
+    form — weight of input i for sample position s is exactly
+    relu(1 - |i - s|) — so v3 builds a_mat with sub/abs/sub/max instead
+    of int-iota + 2 compares + 2 selects + add, and uses the same form
+    for the y-tap selector. The second tap rounds once more than v2
+    (fl(1 - fl(1 - wx)) vs wx): <= 1 ulp on the weight, within the
+    kernel's ~1-ulp-of-XLA contract (integer flows stay bitwise-exact:
+    wx = 0 makes both taps exact). Sub-32-bit dtypes round the built
+    matrix to dt, mirroring v2's dt-rounded weight values.
     """
     hi = pl.program_id(1)
     base = hi * block_h
@@ -384,13 +408,24 @@ def _warp_kernel_mm(img_ref, flow_ref, out_ref, *, block_h, h, w, wp, c):
     # the 3-D i1 mask between (8,128) and (16,128) tilings — 'Invalid
     # relayout' (measured); the WEIGHT VALUES stay dt-rounded (wx is
     # already .astype(dt)) so bf16 images keep bf16-path products.
-    x0i = x0.astype(jnp.int32)                      # (bh, wp)
-    wxf = wx.astype(jnp.float32)
-    omf = (one - wx).astype(jnp.float32)
-    win = jax.lax.broadcasted_iota(jnp.int32, (block_h, wp, wp), 1)
-    a_mat = (jnp.where(win == x0i[:, None, :], omf[:, None, :], 0.0)
-             + jnp.where(win == x0i[:, None, :] + 1, wxf[:, None, :], 0.0)
-             )                                      # (bh, wp_in, wp_out)
+    if relu_weights:
+        # v3: closed-form anchored bilinear weights (docstring) — 4
+        # cheap f32 elementwise ops per element, no int compares, no
+        # selects (and so none of the sub-32-bit select relayout hazard)
+        winf = jax.lax.broadcasted_iota(              # iota integer-only
+            jnp.int32, (block_h, wp, wp), 1).astype(jnp.float32)
+        sxc = x0 + wx.astype(jnp.float32)             # dt-rounded frac
+        a_mat = jnp.maximum(0.0, 1.0 - jnp.abs(winf - sxc[:, None, :]))
+        if jnp.dtype(dt).itemsize < 4:
+            a_mat = a_mat.astype(dt).astype(jnp.float32)
+    else:
+        x0i = x0.astype(jnp.int32)                  # (bh, wp)
+        wxf = wx.astype(jnp.float32)
+        omf = (one - wx).astype(jnp.float32)
+        win = jax.lax.broadcasted_iota(jnp.int32, (block_h, wp, wp), 1)
+        a_mat = (jnp.where(win == x0i[:, None, :], omf[:, None, :], 0.0)
+                 + jnp.where(win == x0i[:, None, :] + 1, wxf[:, None, :],
+                             0.0))                  # (bh, wp_in, wp_out)
 
     wyf = wy.astype(jnp.float32)
     omy = (one - wy).astype(jnp.float32)
@@ -421,10 +456,18 @@ def _warp_kernel_mm(img_ref, flow_ref, out_ref, *, block_h, h, w, wp, c):
             # slice also exposes the skew rows of neighboring chunks,
             # which must not double-count
             in_chunk = (l_idx >= b) & (l_idx < b + s_chunk)
-            wsel = (jnp.where(in_chunk & (dy0[b] == dy_val),
-                              omy[b][None, :], 0.0)
-                    + jnp.where(in_chunk & (dy0[b] + 1.0 == dy_val),
-                                wyf[b][None, :], 0.0))  # (S+bh, wp)
+            if relu_weights:
+                syc = dy0[b] + wyf[b]               # dt-rounded frac
+                wraw = jnp.maximum(
+                    0.0, 1.0 - jnp.abs(dy_val - syc[None, :]))
+                if jnp.dtype(dt).itemsize < 4:
+                    wraw = wraw.astype(dt).astype(jnp.float32)
+                wsel = jnp.where(in_chunk, wraw, 0.0)   # (S+bh, wp)
+            else:
+                wsel = (jnp.where(in_chunk & (dy0[b] == dy_val),
+                                  omy[b][None, :], 0.0)
+                        + jnp.where(in_chunk & (dy0[b] + 1.0 == dy_val),
+                                    wyf[b][None, :], 0.0))  # (S+bh, wp)
             contribs.append(jnp.sum(m3 * wsel[:, None, :], axis=0))
         return acc + jnp.stack(contribs)            # (bh, C, wp)
 
@@ -433,9 +476,13 @@ def _warp_kernel_mm(img_ref, flow_ref, out_ref, *, block_h, h, w, wp, c):
     out_ref[0] = acc.astype(dt)
 
 
-def resample2d_pallas_mm(img, flow, interpret: bool = False):
+def resample2d_pallas_mm(img, flow, interpret: bool = False,
+                         relu_weights=None):
     """Pallas matmul warp (see _warp_kernel_mm). Same contract as
-    resample2d_pallas."""
+    resample2d_pallas. relu_weights=None reads the module default
+    (FLOWTRACK_WARP_MM_WEIGHTS env, the e2e A/B switch)."""
+    if relu_weights is None:
+        relu_weights = _WARP_MM_RELU
     n, h, w, c = img.shape
     bh = _WARP_BLOCK_H
     hb = -(-h // bh) * bh
@@ -451,7 +498,7 @@ def resample2d_pallas_mm(img, flow, interpret: bool = False):
                     ((0, 0), (0, hb - h), (0, 0), (0, wp - w)))
 
     kernel = functools.partial(_warp_kernel_mm, block_h=bh, h=h, w=w,
-                               wp=wp, c=c)
+                               wp=wp, c=c, relu_weights=relu_weights)
     out = pl.pallas_call(
         kernel,
         grid=(n, hb // bh),

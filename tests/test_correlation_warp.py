@@ -6,6 +6,8 @@ and scipy.ndimage.map_coordinates for the bilinear warp (SURVEY.md section 5
 test strategy).
 """
 
+import functools
+
 import numpy as np
 import pytest
 from scipy import ndimage
@@ -203,14 +205,19 @@ class TestResample2dPallas:
     equality at integer flows where every weight is an exact 0/1 and no
     rounding can differ."""
 
-    @pytest.fixture(params=["shift", "matmul"])
+    @pytest.fixture(params=["shift", "matmul", "matmul_v3"])
     def impl(self, request):
         return request.param
 
     def _pallas(self, img, flow, impl="shift"):
         from flowtrack_tpu.ops.warp import (resample2d_pallas,
                                             resample2d_pallas_mm)
-        fn = resample2d_pallas_mm if impl == "matmul" else resample2d_pallas
+        if impl == "shift":
+            fn = resample2d_pallas
+        else:  # matmul_v3: the relu-form weight construction (same
+            # contract — <=1 extra ulp on the second tap's weight)
+            fn = functools.partial(resample2d_pallas_mm,
+                                   relu_weights=(impl == "matmul_v3"))
         return np.asarray(fn(
             jnp.asarray(img), jnp.asarray(flow), interpret=True))
 
