@@ -330,10 +330,15 @@ def resample2d_pallas(img, flow, interpret: bool = False):
 _WARP_MM_CHUNK = int(os.environ.get("FLOWTRACK_WARP_MM_CHUNK", "16"))
 
 # Weight-construction variant (see _warp_kernel_mm): "v2" = int-iota
-# compares + selects; "v3" = relu(1 - |i - sx|) closed form. Env knob is
+# compares + selects; "v3" = relu(1 - |i - sx|) closed form. v3 is the
+# production default since the r5e on-chip A/B (benchmarks/
+# PROBE_WARP_AB_r05.jsonl): it wins every (shape, flow-regime) cell —
+# cascade-regime 384x288 2046 -> 1237 us/img, 256x192 757 -> 682, and
+# e2e b4 165.55 -> 167.0 f/s — because the kernel's cost is the VPU
+# a_mat construction, which v3 does with 4 elementwise ops. Env knob is
 # the e2e A/B switch; resample2d_pallas_mm(relu_weights=...) overrides
 # per call (the on-chip microbench path).
-_WARP_MM_RELU = os.environ.get("FLOWTRACK_WARP_MM_WEIGHTS", "v2") == "v3"
+_WARP_MM_RELU = os.environ.get("FLOWTRACK_WARP_MM_WEIGHTS", "v3") == "v3"
 
 
 def _warp_kernel_mm(img_ref, flow_ref, out_ref, *, block_h, h, w, wp, c,
