@@ -934,9 +934,16 @@ def run_latency_bench(mode: str):
     latency-vs-throughput trade published in README/STATUS.
 
     mode "stream": per-frame latency of the sequential streaming tracker
-    (tracking.FlowTracker + PosePredictor/FlowPredictor — one jit step
-    per frame, the lowest-latency serving option), p50/p99 over
-    BENCH_LATENCY_FRAMES (default 200) timed steps after warmup.
+    (tracking.FlowTracker + PosePredictor/FlowPredictor — host-
+    orchestrated: several jit calls + forced readbacks per frame),
+    p50/p99 over BENCH_LATENCY_FRAMES (default 200) timed steps after
+    warmup.
+
+    mode "stream2": per-frame latency of the FUSED streaming step — the
+    whole-clip program at clip_len=2 (one device call + one
+    async-batched 5-leaf fetch per frame, track state carried
+    device-side via the clip seed). The lowest-latency serving option
+    on relay-taxed hosts; emits the same p50/p99 surface.
 
     Both run on whatever jax.devices()[0] is. On this machine every host
     readback additionally rides the axon relay (~30 ms, CLAUDE.md) that a
@@ -983,6 +990,49 @@ def run_latency_bench(mode: str):
             "p90_ms": round(float(np.percentile(a, 90)), 2),
             "p99_ms": round(float(np.percentile(a, 99)), 2),
             "frames": n,
+            "throughput_fps": round(1e3 / a.mean(), 1),
+            "platform": platform,
+        }))
+        return
+
+    if mode == "stream2":
+        # Fused per-frame streaming: the whole-clip program at clip_len=2
+        # (clips overlap by one frame, so each call computes flow on the
+        # new pair + pose on both frames + match, emits exactly ONE new
+        # frame, and carries track state device-side). One device call +
+        # one async-batched fetch per frame — the host-orchestrated
+        # FlowTracker "stream" mode pays many small jit calls and forced
+        # readbacks per frame instead; on relay hosts this fused mode is
+        # the true latency floor.
+        from flowtrack_tpu.serving import MultiStreamTracker
+
+        dt = np.dtype(os.environ.get("BENCH_LATENCY_DTYPE", "float32"))
+        mst = MultiStreamTracker(tracker, clip_len=2, batch_streams=1)
+        n = int(os.environ.get("BENCH_LATENCY_FRAMES", "200"))
+        frames = rng.uniform(0, 255, (8, h, w, 3)).astype(dt)
+        for t in range(3):  # compile the 2-frame clip program (+ seeded)
+            mst.submit(0, frames[t % 8], boxes, scores)
+            mst.step(force=True)
+        mst.reset_latency_stats()
+        lat = []
+        for t in range(n):
+            t0 = time.perf_counter()
+            mst.submit(0, frames[t % 8], boxes, scores)
+            emitted = mst.step(force=True)
+            lat.append((time.perf_counter() - t0) * 1e3)
+            assert sum(len(tr) for _, _, tr in emitted) == 1
+        a = np.asarray(lat)
+        print(json.dumps({
+            "metric": "fused_streaming_per_frame_latency_ms",
+            "value": round(float(np.percentile(a, 50)), 2),
+            "unit": f"ms/frame p50 ({h}x{w}, {PERSONS} persons, "
+                    f"flip-test, fused clip_len=2 step per frame, "
+                    f"{BENCH_CFG})",
+            "p50_ms": round(float(np.percentile(a, 50)), 2),
+            "p90_ms": round(float(np.percentile(a, 90)), 2),
+            "p99_ms": round(float(np.percentile(a, 99)), 2),
+            "frames": n,
+            "dtype": str(dt),
             "throughput_fps": round(1e3 / a.mean(), 1),
             "platform": platform,
         }))

@@ -241,11 +241,14 @@ class MultiStreamTracker:
 
     def _fetch(self, entry) -> list:
         """Host-fetch a dispatched batch and build its emissions. ONE
-        batched readback per output leaf (this machine's relay charges
-        ~30ms per forced readback; per-lane fetches would pay
-        5 x batch_streams of them), then numpy-slice per lane."""
+        ASYNC-BATCHED readback for all five output leaves
+        (jax.device_get starts copy_to_host_async on every leaf before
+        awaiting any — on a relay host that charges a round trip per
+        forced readback, the five trips overlap into ~one instead of
+        serializing; per-lane fetches would pay 5 x batch_streams of
+        them), then numpy-slice per lane."""
         out_dev, metas = entry
-        host = [np.asarray(leaf) for leaf in out_dev]
+        host = jax.device_get(list(out_dev))
         results = []
         for meta in metas:
             if len(meta) == 3:          # single-clip dispatch

@@ -524,13 +524,18 @@ class ClipTracker:
     @staticmethod
     def to_host(device_out):
         """Device result tuple -> the track_clip numpy dict (the trailing
-        seed_out stays device-side; fetch it via device_out[5])."""
+        seed_out stays device-side; fetch it via device_out[5]).
+
+        All five leaves are fetched via ONE jax.device_get so their host
+        copies start async before any is awaited — on a relay host
+        (~30 ms per forced readback, CLAUDE.md) the five round trips
+        overlap instead of serializing."""
         preds, maxvals, scores, ids, valid, _seed = device_out
-        ids = np.asarray(ids)
-        valid = np.asarray(valid)
+        preds, maxvals, scores, ids, valid = jax.device_get(
+            [preds, maxvals, scores, ids, valid])
         ids = np.where(valid, ids, -1)
-        return {"joints": np.asarray(preds), "maxvals": np.asarray(maxvals),
-                "scores": np.asarray(scores), "ids": ids, "valid": valid}
+        return {"joints": preds, "maxvals": maxvals,
+                "scores": scores, "ids": ids, "valid": valid}
 
     def track_clips(self, frames: np.ndarray, det_boxes: np.ndarray,
                     det_scores: np.ndarray, det_valid: np.ndarray,
