@@ -218,8 +218,10 @@ class FlowTracker:
             tj[:m] = track_joints
             prop_d, pb_d = propagate_and_boxes(
                 jnp.asarray(tj), jnp.asarray(flow), tcfg.box_expand)
-            prop = np.asarray(prop_d)[:m]
-            pb = np.asarray(pb_d)[:m]
+            # one async-batched fetch, not two serialized forced
+            # readbacks (a relay host charges a round trip per readback)
+            prop, pb = jax.device_get([prop_d, pb_d])
+            prop, pb = prop[:m], pb[:m]
             prop_boxes_xywh = np.concatenate(
                 [pb[:, :2], pb[:, 2:] - pb[:, :2]], axis=1)
             prop_scores = np.array([t.score for t in self.tracks],
@@ -253,10 +255,8 @@ class FlowTracker:
 
         # --- pose on the union
         if len(boxes):
-            joints, maxvals, rescored = self.pose_fn(image, boxes, scores)
-            joints = np.asarray(joints)
-            maxvals = np.asarray(maxvals)
-            rescored = np.asarray(rescored)
+            joints, maxvals, rescored = jax.device_get(
+                list(self.pose_fn(image, boxes, scores)))
             ok = rescored >= tcfg.pose_score_thre
             joints, maxvals, rescored = joints[ok], maxvals[ok], rescored[ok]
         else:
