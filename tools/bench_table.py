@@ -57,7 +57,11 @@ def render_latency(lines):
             continue
         rec = json.loads(line)
         if rec.get("metric") == "streaming_per_frame_latency_ms":
-            label = "streaming per-frame step (1 jit step/frame)"
+            label = "streaming per-frame step (host-orchestrated)"
+        elif rec.get("metric") == "fused_streaming_per_frame_latency_ms":
+            dt = rec.get("dtype", "float32")
+            extra = f" ({dt})" if dt != "float32" else ""
+            label = f"fused streaming step (clip_len=2, 1 call/frame){extra}"
         elif rec.get("metric") == "serving_submit_to_emit_latency_ms":
             pace = rec.get("pace_fps") or 0
             extras = []
