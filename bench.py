@@ -939,11 +939,12 @@ def run_latency_bench(mode: str):
     p50/p99 over BENCH_LATENCY_FRAMES (default 200) timed steps after
     warmup.
 
-    mode "stream2": per-frame latency of the FUSED streaming step — the
-    whole-clip program at clip_len=2 (one device call + one
-    async-batched 5-leaf fetch per frame, track state carried
-    device-side via the clip seed). The lowest-latency serving option
-    on relay-taxed hosts; emits the same p50/p99 surface.
+    mode "stream2": per-frame latency of the FUSED streaming step
+    (serving.StreamingClipTracker — the whole-clip program at
+    clip_len=2: one device call + one async-batched 5-leaf fetch per
+    frame, track state carried device-side via the clip seed). The
+    lowest-latency serving option on relay-taxed hosts; emits the same
+    p50/p99 surface.
 
     Both run on whatever jax.devices()[0] is. On this machine every host
     readback additionally rides the axon relay (~30 ms, CLAUDE.md) that a
@@ -1004,23 +1005,21 @@ def run_latency_bench(mode: str):
         # FlowTracker "stream" mode pays many small jit calls and forced
         # readbacks per frame instead; on relay hosts this fused mode is
         # the true latency floor.
-        from flowtrack_tpu.serving import MultiStreamTracker
+        from flowtrack_tpu.serving import StreamingClipTracker
 
         dt = np.dtype(os.environ.get("BENCH_LATENCY_DTYPE", "float32"))
-        mst = MultiStreamTracker(tracker, clip_len=2, batch_streams=1)
+        st = StreamingClipTracker(tracker)
         n = int(os.environ.get("BENCH_LATENCY_FRAMES", "200"))
         frames = rng.uniform(0, 255, (8, h, w, 3)).astype(dt)
         for t in range(3):  # compile the 2-frame clip program (+ seeded)
-            mst.submit(0, frames[t % 8], boxes, scores)
-            mst.step(force=True)
-        mst.reset_latency_stats()
+            st.step(frames[t % 8], boxes, scores)
+        st.reset_latency_stats()
         lat = []
         for t in range(n):
             t0 = time.perf_counter()
-            mst.submit(0, frames[t % 8], boxes, scores)
-            emitted = mst.step(force=True)
+            emitted = st.step(frames[t % 8], boxes, scores)
             lat.append((time.perf_counter() - t0) * 1e3)
-            assert sum(len(tr) for _, _, tr in emitted) == 1
+            assert len(emitted) == 1
         a = np.asarray(lat)
         print(json.dumps({
             "metric": "fused_streaming_per_frame_latency_ms",

@@ -52,6 +52,60 @@ def tracks_of_frame(out: Dict[str, np.ndarray], t: int) -> List[dict]:
     return items
 
 
+class StreamingClipTracker:
+    """Lowest-latency single-stream serving: ONE fused device call per
+    frame (the whole-clip program at clip_len=2 — flow on the new pair +
+    pose + match in one jit, track state carried device-side via the
+    clip seed) + one async-batched fetch. Measured on v5e-1 (README
+    latency table): 46.7 ms/frame p50 at uint8 vs 122.6 ms for the
+    host-orchestrated per-frame ``tracking.FlowTracker`` loop.
+
+    Semantics equal ``utils/video.track_video_clips`` at clip_len=2
+    (itself pinned clip_len-invariant), hence the reference's
+    continuous per-frame loop (SURVEY.md section 4.4) — tested.
+
+    Usage:
+        st = StreamingClipTracker(tracker)
+        for frame, boxes, scores in source:
+            for frame_idx, tracks in st.step(frame, boxes, scores):
+                ...
+        ... st.flush()   # the first frame if only one was ever submitted
+
+    The first step emits nothing (the 2-frame clip is filling) and the
+    second emits frames 0 and 1 together; every later step emits
+    exactly the frame submitted one call earlier's successor — i.e.
+    after warmup the emission lag is ZERO frames (each step emits the
+    frame it submitted)."""
+
+    def __init__(self, tracker: ClipTracker):
+        self._mst = MultiStreamTracker(tracker, clip_len=2,
+                                       batch_streams=1)
+
+    def step(self, frame: np.ndarray, boxes, scores):
+        """Submit one frame; returns [(frame_index, tracks), ...] for
+        every frame emitted by this call (see class docstring for the
+        warmup pattern). ``tracks`` is the per-frame list of dicts of
+        ``tracks_of_frame``."""
+        self._mst.submit(0, frame, boxes, scores)
+        out = []
+        for _sid, first, tracks in self._mst.step(force=True):
+            out.extend((first + i, fr) for i, fr in enumerate(tracks))
+        return out
+
+    def flush(self):
+        """Emit anything still buffered (only possible if a single frame
+        was ever submitted); drops stream state."""
+        return [(first + i, fr)
+                for _sid, first, tracks in self._mst.flush()
+                for i, fr in enumerate(tracks)]
+
+    def latency_stats(self) -> dict:
+        return self._mst.latency_stats()
+
+    def reset_latency_stats(self) -> None:
+        return self._mst.reset_latency_stats()
+
+
 class MultiStreamTracker:
     """Batch independent streams' ready clips into one ClipTracker call.
 

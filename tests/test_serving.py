@@ -412,35 +412,52 @@ def test_sharded_forced_partial_batch_does_not_crash():
 
 
 def test_fused_streaming_clip_len_2_matches_reference():
-    """The fused streaming pattern (bench BENCH_LATENCY=stream2):
-    clip_len=2, one stream, submit one frame then step(force=True) —
-    after the first 2-frame clip, every step emits EXACTLY one new
-    frame, and the whole emission sequence equals track_video_clips at
-    clip_len=2 (which itself is clip_len-invariant vs the pinned
-    per-frame reference)."""
+    """serving.StreamingClipTracker (the fused low-latency mode; bench
+    BENCH_LATENCY=stream2): one device call per frame — the first step
+    emits nothing, the second emits frames 0+1, every later step emits
+    EXACTLY the frame it submitted, and the whole emission sequence
+    equals track_video_clips at clip_len=2 (itself clip_len-invariant
+    vs the pinned per-frame reference). Also pins the one-frame flush
+    edge and the latency accounting."""
+    from flowtrack_tpu.serving import StreamingClipTracker
+
     cfg = make_cfg()
     tracker = ClipTracker(cfg, StubPose(), {}, StubFlow(), {})
     n = 9
     fa, ba, sa = scenario_b(n)
     want = track_video_clips(tracker, fa, ba, sa, clip_len=2)
 
-    mst = MultiStreamTracker(tracker, clip_len=2, batch_streams=1)
+    st = StreamingClipTracker(tracker)
     got = [None] * n
     for t in range(n):
-        mst.submit("A", fa[t], ba[t], sa[t])
-        emitted = mst.step(force=True)
-        n_new = sum(len(tr) for _, _, tr in emitted)
-        assert n_new == (0 if t == 0 else 2 if t == 1 else 1), t
-        for _sid, first, tracks in emitted:
-            for i, fr in enumerate(tracks):
-                assert got[first + i] is None
-                got[first + i] = fr
+        emitted = st.step(fa[t], ba[t], sa[t])
+        want_idx = [] if t == 0 else [0, 1] if t == 1 else [t]
+        assert [idx for idx, _ in emitted] == want_idx, t
+        for idx, fr in emitted:
+            assert got[idx] is None
+            got[idx] = fr
     # every submitted frame emitted in-loop; only the overlap frame is
     # still buffered, so flush has nothing left to emit
     assert all(fr is not None for fr in got)
-    assert mst.flush() == []
+    assert st.flush() == []
+    assert st.latency_stats()["count"] == n
     w_ids, w_cj = ids_and_joints(want)
     g_ids, g_cj = ids_and_joints(got)
     assert g_ids == w_ids
     for t in range(n):
         np.testing.assert_allclose(g_cj[t], w_cj[t], atol=1e-4)
+
+
+def test_fused_streaming_single_frame_flush():
+    """A stream that only ever saw ONE frame still emits it at flush
+    (the ragged-tail path of the 2-frame clip program)."""
+    from flowtrack_tpu.serving import StreamingClipTracker
+
+    cfg = make_cfg()
+    tracker = ClipTracker(cfg, StubPose(), {}, StubFlow(), {})
+    fa, ba, sa = scenario_b(2)
+    st = StreamingClipTracker(tracker)
+    assert st.step(fa[0], ba[0], sa[0]) == []
+    out = st.flush()
+    assert [idx for idx, _ in out] == [0]
+    assert len(out[0][1]) >= 1  # the frame's tracks
