@@ -73,9 +73,7 @@ class StreamingClipTracker:
 
     The first step emits nothing (the 2-frame clip is filling) and the
     second emits frames 0 and 1 together; every later step emits
-    exactly the frame submitted one call earlier's successor — i.e.
-    after warmup the emission lag is ZERO frames (each step emits the
-    frame it submitted)."""
+    exactly the frame it submitted — zero frame lag after warmup."""
 
     def __init__(self, tracker: ClipTracker):
         self._mst = MultiStreamTracker(tracker, clip_len=2,
