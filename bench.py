@@ -290,6 +290,30 @@ def build_clip_tracker(cfg_name=None, flow_variant=None):
     return tracker, h, w
 
 
+def classify_clip_failure(err_text: str):
+    """Classify a clip-program failure for the stream-halving fallback.
+
+    Returns (is_oom, opaque_500). is_oom matches REAL allocator
+    exhaustion only — a bare 'memory' substring once swallowed a Pallas
+    'memory space any' BlockSpec lowering error and mis-reported it as
+    an HBM OOM (b4 2-stream, 2026-08-19). opaque_500: the axon relay
+    wraps COMPILE-time OOMs in an opaque 'remote_compile: HTTP 500'
+    JaxRuntimeError — the real 'Allocation would exceed memory' text
+    only reaches the relay's stderr stream, never str(e) (measured:
+    R152@384 C=8, 2026-08-20). Through this relay an HTTP 500 at C>1 is
+    indistinguishable from a genuine compile bug, so the fallback treats
+    it as possibly-OOM and retries halved: a real bug re-raises
+    unchanged once C reaches 1, and every error head is printed loudly,
+    so nothing is silently swallowed."""
+    msg = err_text.lower()
+    is_oom = ("resource_exhausted" in msg or "out of memory" in msg
+              or "exceeds the limit" in msg
+              or "would exceed memory" in msg
+              or "allocating" in msg and "hbm" in msg)
+    opaque_500 = "remote_compile" in msg and "http 500" in msg
+    return is_oom, opaque_500
+
+
 def run_clip_bench(cfg_name=None, flow_variant=None):
     """Headline path: whole-clip batched tracking (tracking/clip_pipeline).
 
@@ -381,18 +405,18 @@ def run_clip_bench(cfg_name=None, flow_variant=None):
             # substring once swallowed a Pallas 'memory space any'
             # BlockSpec lowering error and mis-reported it as an HBM OOM
             # (b4 2-stream, 2026-08-19)
-            msg = str(e).lower()
-            is_oom = ("resource_exhausted" in msg or "out of memory" in msg
-                      or "exceeds the limit" in msg
-                      or "allocating" in msg and "hbm" in msg)
+            is_oom, opaque_500 = classify_clip_failure(str(e))
             # always surface the head of the real error: a silently
             # swallowed or mis-classified exception cost a day of queue
             # time twice (Pallas-as-OOM; c8_f52's lost error)
             head = str(e)
-            print(f"bench: clip program failed (oom={is_oom}, C={n_clips}):"
-                  f" {head[:500]}", file=sys.stderr)
-            if n_clips > 1 and is_oom:
-                print(f"bench: {n_clips}-clip program exceeded HBM; "
+            print(f"bench: clip program failed (oom={is_oom}, "
+                  f"opaque_500={opaque_500}, C={n_clips}): {head[:500]}",
+                  file=sys.stderr)
+            if n_clips > 1 and (is_oom or opaque_500):
+                why = ("exceeded HBM" if is_oom else
+                       "failed opaquely in relay compile (possible OOM)")
+                print(f"bench: {n_clips}-clip program {why}; "
                       f"retrying with {n_clips // 2}", file=sys.stderr)
                 n_clips //= 2
                 continue

@@ -122,3 +122,32 @@ def test_north_star_guard_flips_at_10x():
     r4 = bench.envelope_extras(488.6, 196.5)
     assert r4["north_star_ok"] is True
     assert r4["vs_gpu_envelope"] == [10.2, 36.0]
+
+
+@pytest.mark.smoke
+def test_clip_failure_classifier_pinned():
+    """The stream-halving fallback's error taxonomy (bench.
+    classify_clip_failure). Three measured failure shapes must classify
+    exactly: (a) real allocator exhaustion -> is_oom (halve); (b) the
+    axon relay's opaque compile-time HTTP 500 — which HIDES the real
+    'would exceed memory' text from str(e) (R152@384 C=8, 2026-08-20)
+    -> opaque_500 (halve, possible OOM); (c) the Pallas 'memory space
+    any' lowering error that a bare-'memory' match once swallowed
+    (b4 2-stream, 2026-08-19) -> neither (re-raise)."""
+    # (a) allocator exhaustion, both runtime and buffer-assignment forms
+    assert bench.classify_clip_failure(
+        "RESOURCE_EXHAUSTED: Out of memory allocating 19531250000 bytes"
+    ) == (True, False)
+    assert bench.classify_clip_failure(
+        "AOT PJRT error: Allocation (size=21743271936) would exceed "
+        "memory (size=17179869184)") == (True, False)
+    # (b) the relay's opaque wrapper — the only text str(e) carries
+    assert bench.classify_clip_failure(
+        "INTERNAL: http://127.0.0.1:8083/remote_compile: HTTP 500: "
+        "tpu_compile_helper subprocess exit code 1") == (False, True)
+    # (c) lowering errors mentioning memory must NOT classify as OOM
+    assert bench.classify_clip_failure(
+        "Mosaic failed: cannot allocate ref in memory space any"
+    ) == (False, False)
+    assert bench.classify_clip_failure("ValueError: shapes differ") \
+        == (False, False)
