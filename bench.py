@@ -483,6 +483,30 @@ def gpu_envelope(gflops_per_frame):
 
 NORTH_STAR_X = 10.0  # BASELINE.json: >=10x reference GPU fps per chip
 
+# Env knobs that change the MEASURED WORKLOAD of the clip bench away
+# from the headline configuration (the plain `python bench.py` the
+# driver captures). Any of these set => the run is not the headline and
+# must not carry the north-star guard flag (oracle-handling knobs like
+# BENCH_SKIP_ORACLE don't alter the measured fps and are exempt).
+HEADLINE_WORKLOAD_ENVS = (
+    "BENCH_CLIPS", "BENCH_FRAMES", "BENCH_REPS",
+    "BENCH_PERSONS", "BENCH_FLIP", "BENCH_RECOVER", "BENCH_FLOW",
+    "BENCH_GLUE_DTYPE", "BENCH_POSE_CHUNK", "BENCH_FLOW_CHUNK",
+    "BENCH_MODE", "BENCH_QUANT", "BENCH_PALLAS_CORR", "BENCH_PALLAS_WARP",
+    "BENCH_FUSED")
+
+
+def is_headline_invocation(env=os.environ):
+    """True iff this run measures the headline workload the >=10x
+    north-star is a claim about — the default driver invocation. The
+    round-5 gate on BENCH_CFG alone still let workload overrides
+    (e.g. BENCH_CLIPS=1 single-stream: 431.8 f/s = 9.0x, 2026-08-20)
+    emit a false-looking north_star_ok=false into capture files.
+    BENCH_CFG explicitly set TO the default still counts as headline."""
+    if env.get("BENCH_CFG", "coco_res50_256x192") != "coco_res50_256x192":
+        return False
+    return not any(env.get(k) for k in HEADLINE_WORKLOAD_ENVS)
+
 
 def envelope_extras(fps, gflops_per_frame):
     """The envelope + north-star fields of the headline JSON line, from
@@ -1377,11 +1401,12 @@ def main():
     # (gpu_envelope/envelope_extras; math pinned by tests/test_bench_flops)
     if extras.get("gflops_per_frame"):
         out.update(envelope_extras(fps, extras["gflops_per_frame"]))
-        if BENCH_CFG != "coco_res50_256x192":
-            # the >=10x north-star is a claim about the HEADLINE config
-            # (the default invocation the driver captures); non-headline
-            # configs keep the informative envelope ratio but must not
-            # emit a false-looking guard flag into committed artifacts
+        if not is_headline_invocation():
+            # the >=10x north-star is a claim about the HEADLINE workload
+            # (the default invocation the driver captures); any config or
+            # workload override keeps the informative envelope ratio but
+            # must not emit a false-looking guard flag into committed
+            # artifacts (see is_headline_invocation)
             out.pop("north_star_ok"), out.pop("north_star_margin_pct")
     print(json.dumps(out))
 

@@ -151,3 +151,28 @@ def test_clip_failure_classifier_pinned():
     ) == (False, False)
     assert bench.classify_clip_failure("ValueError: shapes differ") \
         == (False, False)
+
+
+@pytest.mark.smoke
+def test_north_star_guard_gated_to_headline_invocation():
+    """The guard flag must appear ONLY on the default driver invocation:
+    a BENCH_CFG override OR any workload-altering BENCH_* env (stream
+    count, frames, flip, flow variant, ...) disqualifies — the round-5
+    BENCH_CFG-only gate let `BENCH_CLIPS=1` commit a false-looking
+    north_star_ok=false (431.8 f/s single stream = 9.0x, 2026-08-20).
+    Oracle-handling knobs don't alter the measured workload and are
+    exempt."""
+    assert bench.is_headline_invocation({}) is True
+    assert bench.is_headline_invocation({"BENCH_SKIP_ORACLE": "1"}) is True
+    # explicit default BENCH_CFG still counts as the headline
+    assert bench.is_headline_invocation(
+        {"BENCH_CFG": "coco_res50_256x192"}) is True
+    assert bench.is_headline_invocation(
+        {"BENCH_CFG": "coco_res152_384x288"}) is False
+    for knob, val in [("BENCH_CLIPS", "1"), ("BENCH_FRAMES", "64"),
+                      ("BENCH_FLIP", "0"), ("BENCH_RECOVER", "0"),
+                      ("BENCH_FLOW", "flownet2"),
+                      ("BENCH_GLUE_DTYPE", "bfloat16"),
+                      ("BENCH_POSE_CHUNK", "128"), ("BENCH_REPS", "16"),
+                      ("BENCH_QUANT", "1"), ("BENCH_MODE", "frame")]:
+        assert bench.is_headline_invocation({knob: val}) is False, knob
